@@ -1,0 +1,64 @@
+"""Global configuration for goofer_tpu.
+
+Dtype policy mirrors the reference engine's split between compact storage and
+full-precision math (ref: GOOFER.py:7-8): features persisted to `.goofy` files
+are float16, all on-device compute is float32.  On TPU the compute dtype stays
+float32 (the pipeline is VPU/FFT-bound, not MXU-bound, and LSD parity with the
+CPU reference is part of the contract); bfloat16 is available as an opt-in for
+the envelope matmuls.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+# Storage dtype for .goofy feature files (ref: GOOFER.py:7).
+STORAGE_DTYPE = np.float16
+# Compute dtype for all device math (ref: GOOFER.py:8).
+COMPUTE_DTYPE = np.float32
+
+# Frame parameters used by the resampler CLI (ref: SillySampler.py:14-15).
+SAMPLER_N_FFT = 1024
+SAMPLER_HOP = SAMPLER_N_FFT // 4
+
+# Engine self-test defaults (ref: GOOFER.py:1262-1263).
+ENGINE_N_FFT = 2048
+ENGINE_HOP = ENGINE_N_FFT // 4
+
+# Voicing threshold: f0 above this many Hz counts as voiced
+# (ref: GOOFER.py:941-943, 966).
+VOICING_THRESHOLD_HZ = 75.0
+
+# f0 clipping range applied after per-sample interpolation
+# (ref: GOOFER.py:964).
+F0_CLIP_LO = 1e-5
+F0_CLIP_HI = 2000.0
+
+# LF glottal model constants used by the main pulse train
+# (ref: GOOFER.py:1074 call site).
+PULSE_RA = 0.02
+PULSE_RG = 1.7
+PULSE_RK = 0.8
+
+# Period clamp for the pulse-train generator, in samples
+# (ref: GOOFER.py:496-499).
+PULSE_T0_MIN = 3
+PULSE_T0_MAX = 8192
+
+# Maximum number of simultaneously-overlapping pulse generations the
+# TPU pulse-train kernel sums per output sample.  The reference scatters
+# pulses of arbitrary overlap; overlap beyond this bound only occurs for
+# pathological f0 trajectories (e.g. extreme growl noise) and contributes
+# only low-amplitude pulse tails.
+PULSE_MAX_OVERLAP = 16
+
+# Fallback f0 used by the pulse train before the first voiced sample
+# (ref: GOOFER.py:481).
+PULSE_FALLBACK_F0 = 160.0
+
+# HTTP server port for the resampler server mode (ref: SillySampler.py:1220).
+SERVER_PORT = 8572
+
+VERSION = "0.1.0"
+# Version string of the reference CLI surface we reproduce
+# (ref: SillySampler.py:1226).
+REFERENCE_CLI_VERSION = "v2.6.1"

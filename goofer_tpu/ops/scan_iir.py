@@ -1,0 +1,106 @@
+"""First-order IIR recurrences as associative scans.
+
+The reference implements these as sequential Numba loops
+(one_pole_highpass: GOOFER.py:877-892, _dynamic_butter_filter_core:
+SillySampler.py:118-174).  A first-order filter, even with time-varying
+coefficients, is the affine recurrence
+
+    y[i] = a[i] * y[i-1] + b[i]
+
+whose solution is an associative composition of affine maps, so it runs in
+log-depth on the TPU vector unit via ``jax.lax.associative_scan``.
+Higher "orders" in the reference are literal re-application of the same
+one-pole pass, so an order-N cascade is N scans.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def first_order_recurrence(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve y[i] = a[i]*y[i-1] + b[i] with y[-1] = 0, vectorized."""
+
+    def combine(left, right):
+        a1, b1 = left
+        a2, b2 = right
+        return a1 * a2, a2 * b1 + b2
+
+    _, y = jax.lax.associative_scan(combine, (a, b))
+    return y
+
+
+def one_pole_highpass(x: jnp.ndarray, sr: float, fc: float) -> jnp.ndarray:
+    """Static one-pole highpass: y[i] = a*(y[i-1] + x[i] - x[i-1]),
+    a = rc/(rc + 1/sr), rc = 1/(2*pi*fc) (ref: GOOFER.py:877-892)."""
+    if fc <= 0:
+        return jnp.zeros_like(x)
+    rc = 1.0 / (2.0 * jnp.pi * fc)
+    a = jnp.float32(rc / (rc + 1.0 / sr))
+    x = jnp.asarray(x, dtype=jnp.float32)
+    dx = jnp.diff(x, prepend=0.0)
+    a_vec = jnp.full_like(x, a)
+    return first_order_recurrence(a_vec, a * dx)
+
+
+def dynamic_one_pole_cascade(x: jnp.ndarray, fc: jnp.ndarray, sr: float,
+                             order: int, btype: str) -> jnp.ndarray:
+    """Time-varying one-pole LP/HP applied ``order`` times sequentially,
+    matching the reference core loop (ref: SillySampler.py:118-174).
+
+    LP pass:  y[i] = y[i-1] + alpha[i]*(x[i] - y[i-1]),
+              alpha = 2*pi*fc / (2*pi*fc + sr)
+    HP pass:  y[i] = alpha[i]*(y[i-1] + x[i] - x[i-1]),  prev_x init = x[0]
+              alpha = sr / (2*pi*fc + sr)
+    """
+    x = jnp.asarray(x, dtype=jnp.float32)
+    two_pi = 2.0 * jnp.pi
+    if btype == "lowpass":
+        alpha = (two_pi * fc) / (two_pi * fc + sr)
+    elif btype == "highpass":
+        alpha = sr / (two_pi * fc + sr)
+    else:
+        raise ValueError(f"unknown btype {btype!r}")
+    alpha = alpha.astype(jnp.float32)
+
+    y = x
+    for _ in range(max(1, int(order))):
+        if btype == "lowpass":
+            y = first_order_recurrence(1.0 - alpha, alpha * y)
+        else:
+            dx = jnp.diff(y, prepend=y[0:1][0])
+            y = first_order_recurrence(alpha, alpha * dx)
+    return y
+
+
+def dynamic_butter_filter(signal: jnp.ndarray, f0: jnp.ndarray, sr: float,
+                          cutoff_factor: float, order: int = 4,
+                          btype: str = "lowpass") -> jnp.ndarray:
+    """F0-tracking cascaded one-pole filter (ref: SillySampler.py:95-115).
+
+    Per-sample cutoff = f0 * cutoff_factor where f0 > 0, else the raw
+    cutoff_factor (interpreted as Hz); floors 60 Hz (LP) / 20 Hz (HP);
+    ceiling 0.45*sr.  f0 gets a 5-tap moving-average smooth when any
+    sample is voiced.
+    """
+    from goofer_tpu.ops.interp import resample_1d
+
+    x = jnp.asarray(signal, dtype=jnp.float32)
+    n = x.shape[0]
+    if n == 0:
+        return x
+    f0 = jnp.asarray(f0, dtype=jnp.float32)
+    if f0.shape[0] != n:
+        f0 = resample_1d(f0, n)
+
+    k = 5
+    pad = k // 2
+    padded = jnp.pad(f0, (pad, pad), mode="edge")
+    kernel = jnp.ones((k,), dtype=jnp.float32) / k
+    smoothed = jnp.convolve(padded, kernel, mode="valid")
+    f0_s = jnp.where(jnp.any(f0 > 0), smoothed, f0)
+
+    fc = jnp.where(f0_s > 0.0, f0_s * cutoff_factor, cutoff_factor)
+    floor = 60.0 if btype == "lowpass" else 20.0
+    fc = jnp.clip(fc, floor, 0.45 * sr)
+    return dynamic_one_pole_cascade(x, fc, sr, order, btype)

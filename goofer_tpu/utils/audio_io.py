@@ -1,0 +1,63 @@
+"""Audio file I/O.
+
+The reference reads/writes audio through libsndfile (soundfile).  This image
+has no libsndfile, so WAV I/O goes through scipy's RIFF codec with
+float-normalization matching libsndfile conventions (int16 / 32768, output
+PCM_16 like soundfile's default WAV subtype).  If soundfile happens to be
+importable it is preferred, which also enables flac/aiff/mp3 for the batch
+extractor.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+try:  # pragma: no cover - depends on image
+    import soundfile as _sf
+except Exception:  # pragma: no cover
+    _sf = None
+
+from scipy.io import wavfile as _wavfile
+
+AUDIO_EXTS = [".wav", ".flac", ".aiff", ".aif", ".mp3"]
+
+
+def read_wav(path) -> tuple[np.ndarray, int]:
+    """Read an audio file as float64 in [-1, 1), mono-downmix NOT applied."""
+    if _sf is not None:
+        data, sr = _sf.read(str(path))
+        return np.asarray(data), int(sr)
+    sr, data = _wavfile.read(str(path))
+    if data.dtype == np.int16:
+        data = data.astype(np.float64) / 32768.0
+    elif data.dtype == np.int32:
+        data = data.astype(np.float64) / 2147483648.0
+    elif data.dtype == np.uint8:
+        data = (data.astype(np.float64) - 128.0) / 128.0
+    else:
+        data = data.astype(np.float64)
+    return data, int(sr)
+
+
+def read_wav_mono(path) -> tuple[np.ndarray, int]:
+    """Read and average channels down to mono (ref: SillySampler.py:421-429)."""
+    y, sr = read_wav(path)
+    if y.ndim > 1:
+        y = y.mean(axis=1)
+    return y, sr
+
+
+def write_wav(path, data: np.ndarray, sr: int) -> None:
+    """Write float audio as 16-bit PCM WAV (soundfile's default subtype)."""
+    if _sf is not None:
+        _sf.write(str(path), data, sr)
+        return
+    clipped = np.clip(np.asarray(data, dtype=np.float64), -1.0,
+                      32767.0 / 32768.0)
+    pcm = np.round(clipped * 32768.0).astype(np.int16)
+    _wavfile.write(str(path), int(sr), pcm)
+
+
+def is_audio_file(path) -> bool:
+    from pathlib import Path
+
+    return Path(path).suffix.lower() in AUDIO_EXTS

@@ -1,0 +1,237 @@
+"""Plain-NumPy oracles restating the reference engine's semantics.
+
+The mounted reference cannot be imported in this image (numba / parselmouth /
+soundfile are absent), so these little sequential implementations serve as
+the ground truth for the vectorized TPU kernels.  Each function cites the
+reference behavior it models (see /root/reference file:line in docstrings);
+they are deliberately written loop-style so the equivalence being tested is
+between "obvious sequential semantics" and the scan/gather formulations.
+"""
+from __future__ import annotations
+
+import numpy as np
+from scipy.ndimage import gaussian_filter1d as _scipy_g1d
+
+
+def o_gaussian1d(x, sigma, axis=-1, truncate=4.0):
+    """GOOFER.py:241-261 — numpy-'reflect' pad == scipy mode='mirror'."""
+    x = np.asarray(x, dtype=np.float64)
+    if x.size == 0 or sigma <= 0:
+        return x.copy()
+    radius = int(truncate * sigma + 0.5)
+    if radius <= 0:
+        return x.copy()
+    return _scipy_g1d(x, sigma, axis=axis, mode="mirror", truncate=truncate)
+
+
+def o_stft(x, n_fft, hop, window):
+    """GOOFER.py:355-370."""
+    x = np.asarray(x, dtype=np.float32)
+    pad = n_fft // 2
+    mode = "reflect" if len(x) >= 2 else "edge"
+    xp = np.pad(x, pad, mode=mode)
+    if len(xp) < n_fft:
+        xp = np.pad(xp, (0, n_fft - len(xp)), mode="edge")
+    t = max(1, 1 + (len(xp) - n_fft) // hop)
+    frames = np.stack([xp[i * hop: i * hop + n_fft] for i in range(t)], axis=1)
+    frames = frames * window[:, None]
+    return np.fft.rfft(frames, axis=0)
+
+
+def o_istft(S, hop, window, length=None):
+    """GOOFER.py:372-413."""
+    n_fft = (S.shape[0] - 1) * 2
+    frames = np.fft.irfft(np.asarray(S, dtype=np.complex64),
+                          axis=0, n=n_fft).astype(np.float32)
+    t = frames.shape[1]
+    pad = n_fft // 2
+    expected = n_fft + hop * (t - 1)
+    y = np.zeros(expected, dtype=np.float32)
+    wsum = np.zeros(expected, dtype=np.float32)
+    for i in range(t):
+        y[i * hop: i * hop + n_fft] += frames[:, i] * window
+        wsum[i * hop: i * hop + n_fft] += window * window
+    nz = wsum > 1e-9
+    y[nz] /= wsum[nz]
+    y = y[pad: expected - pad]
+    if length is not None:
+        if len(y) < length:
+            y = np.pad(y, (0, length - len(y)))
+        else:
+            y = y[:length]
+    return y
+
+
+def _lf_shape(u, T, Ra, Rg, Rk, guard):
+    """LF pulse as a function of normalized position u = t/T."""
+    uc = Ra + Rk * (1.0 - Ra)
+    if u < 0 or u >= 1.0:
+        return 0.0
+    if u < Ra:
+        if guard:
+            return np.sin(np.pi * u * T / (2.0 * Ra * T + 1e-12)) ** 2
+        return np.sin(np.pi * u / (2.0 * Ra)) ** 2
+    if u < uc:
+        if guard:
+            tau = (u - Ra) * T / ((uc - Ra) * T + 1e-12)
+        else:
+            tau = (u - Ra) / (uc - Ra)
+        return np.exp(-Rg * tau) * np.cos(np.pi * tau / 2.0)
+    return 0.0
+
+
+def o_pulse_buf(T0, T, Ra, Rg, Rk, guard):
+    buf = np.array([_lf_shape(j / T0, T, Ra, Rg, Rk, guard)
+                    for j in range(T0)], dtype=np.float64)
+    peak = np.max(np.abs(buf))
+    if peak > 0:
+        buf = buf / peak
+    return buf
+
+
+def o_pulse_train(f0, sr, Ra=0.02, Rg=1.7, Rk=0.8):
+    """GOOFER.py:473-554 — sequential phase accumulator + scatter."""
+    f0 = np.asarray(f0, dtype=np.float64)
+    n = len(f0)
+    out = np.zeros(n, dtype=np.float64)
+    phase = 0.0
+    next_k = 1.0
+    last_f0 = 160.0
+    for i in range(n):
+        if f0[i] > 1e-6:
+            last_f0 = f0[i]
+        phase += f0[i] / sr
+        while phase >= next_k:
+            T = 1.0 / max(last_f0, 1e-6)
+            T0 = int(round(sr * T))
+            T0 = min(max(T0, 3), 8192)
+            buf = o_pulse_buf(T0, T, Ra, Rg, Rk, guard=True)
+            end = min(n, i + T0)
+            out[i:end] += buf[: end - i]
+            next_k += 1.0
+    return out
+
+
+def o_subharm_pulses(f0, sr, mask, semitones, weight):
+    """GOOFER.py:672-736 — per-ratio event trackers, voiced-gated."""
+    f0 = np.asarray(f0, dtype=np.float64)
+    mask = np.asarray(mask, dtype=np.float64)
+    n = len(f0)
+    if not isinstance(semitones, (list, tuple, np.ndarray)):
+        semitones = [semitones]
+    ratios = [2.0 ** (s / 12.0) for s in semitones]
+    trackers = [0.0] * len(ratios)
+    last_f0 = 160.0
+    out = np.zeros(n, dtype=np.float64)
+    for i in range(n):
+        if mask[i] <= 0 or f0[i] <= 0:
+            continue
+        last_f0 = f0[i]
+        for j, r in enumerate(ratios):
+            sub = last_f0 * r
+            if sub < 1e-2:
+                continue
+            trackers[j] += sub / sr
+            if trackers[j] >= 1.0:
+                trackers[j] -= 1.0
+                T = 1.0 / sub
+                T0 = int(round(sr * T))
+                if T0 <= 3:
+                    T0 = 3
+                buf = o_pulse_buf(T0, T, 0.02, 1.7, 1.0, guard=False)
+                end = min(n, i + T0)
+                out[i:end] += buf[: end - i]
+    out = out * mask
+    peak = np.max(np.abs(out))
+    if peak > 1e-6:
+        out = out / peak
+    return out * weight
+
+
+def o_one_pole_hp(x, sr, fc):
+    """GOOFER.py:877-892."""
+    if fc <= 0:
+        return np.zeros_like(x)
+    rc = 1.0 / (2.0 * np.pi * fc)
+    a = rc / (rc + 1.0 / sr)
+    y = np.zeros(len(x))
+    px = 0.0
+    py = 0.0
+    for i in range(len(x)):
+        xn = float(x[i])
+        yn = a * (py + xn - px)
+        y[i] = yn
+        px, py = xn, yn
+    return y
+
+
+def o_dynamic_butter(x, f0, sr, factor, order, btype):
+    """SillySampler.py:95-174."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    f0 = np.asarray(f0, dtype=np.float64)
+    if f0.size != n:
+        pos = np.linspace(0, f0.size - 1, n)
+        f0 = np.interp(pos, np.arange(f0.size), f0)
+    if np.any(f0 > 0):
+        pad = 2
+        padv = np.pad(f0, (pad, pad), mode="edge")
+        f0 = np.convolve(padv, np.ones(5) / 5.0, mode="valid")
+    fc = np.where(f0 > 0, f0 * factor, factor)
+    floor = 60.0 if btype == "lowpass" else 20.0
+    fc = np.clip(fc, floor, 0.45 * sr)
+    two_pi = 2 * np.pi
+    if btype == "lowpass":
+        alpha = two_pi * fc / (two_pi * fc + sr)
+    else:
+        alpha = sr / (two_pi * fc + sr)
+    y = x.copy()
+    for _ in range(max(1, int(order))):
+        if btype == "lowpass":
+            yp = 0.0
+            for i in range(n):
+                yp = yp + alpha[i] * (y[i] - yp)
+                y[i] = yp
+        else:
+            yp = 0.0
+            px = y[0]
+            for i in range(n):
+                xi = y[i]
+                yp = alpha[i] * (yp + xi - px)
+                y[i] = yp
+                px = xi
+    return y
+
+
+def o_interp_extrap(x, y, x_new):
+    """GOOFER.py:204-237."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    out = np.interp(x_new, x, y)
+    sl = (y[1] - y[0]) / (x[1] - x[0] + 1e-10)
+    sr_ = (y[-1] - y[-2]) / (x[-1] - x[-2] + 1e-10)
+    lo = x_new < x[0]
+    hi = x_new > x[-1]
+    out = np.where(lo, y[0] + sl * (x_new - x[0]), out)
+    out = np.where(hi, y[-1] + sr_ * (x_new - x[-1]), out)
+    return out
+
+
+def o_warp_env_by_formants(env, orig_f, shift_f, sr):
+    """GOOFER.py:840-875 — per-frame anchor warp."""
+    n_bins, t = env.shape
+    freqs = np.linspace(0.0, sr / 2.0, n_bins)
+    out = np.zeros_like(env)
+    for j in range(t):
+        src = [0.0]
+        dst = [0.0]
+        for i in range(4):
+            fo, fs = orig_f[i, j], shift_f[i, j]
+            if fo > 50.0 and fo < sr / 2.0 and fs > 50.0:
+                src.append(fo)
+                dst.append(fs)
+        src.append(sr / 2.0)
+        dst.append(sr / 2.0)
+        warped = o_interp_extrap(np.array(dst), np.array(src), freqs)
+        out[:, j] = o_interp_extrap(freqs, env[:, j], warped)
+    return out

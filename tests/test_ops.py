@@ -1,0 +1,216 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import importlib
+
+from goofer_tpu.ops import filters, interp, scan_iir, pulse
+
+stft_mod = importlib.import_module("goofer_tpu.ops.stft")
+from goofer_tpu.ops.windows import sqrt_hann_window
+
+from tests import oracles as o
+
+RNG = np.random.default_rng(7)
+
+
+# ---------------------------------------------------------------- STFT/iSTFT
+
+@pytest.mark.parametrize("n,n_fft,hop", [(5000, 512, 128), (777, 256, 64),
+                                         (4096, 1024, 256)])
+def test_stft_matches_oracle(n, n_fft, hop):
+    x = RNG.standard_normal(n).astype(np.float32)
+    win = sqrt_hann_window(n_fft)
+    got = np.asarray(stft_mod.stft(jnp.asarray(x), n_fft, hop))
+    want = o.o_stft(x, n_fft, hop, win)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("n,n_fft,hop", [(5000, 512, 128), (4096, 1024, 256)])
+def test_istft_matches_oracle(n, n_fft, hop):
+    x = RNG.standard_normal(n).astype(np.float32)
+    win = sqrt_hann_window(n_fft)
+    S = o.o_stft(x, n_fft, hop, win)
+    got = np.asarray(stft_mod.istft(jnp.asarray(S), hop, length=n))
+    want = o.o_istft(S, hop, win, length=n)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_stft_istft_roundtrip():
+    n, n_fft, hop = 8000, 512, 128
+    x = RNG.standard_normal(n).astype(np.float32)
+    S = stft_mod.stft(jnp.asarray(x), n_fft, hop)
+    y = np.asarray(stft_mod.istft(S, hop, length=n))
+    # perfect reconstruction away from the edges
+    np.testing.assert_allclose(y[n_fft:-n_fft], x[n_fft:-n_fft],
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_stft_tiny_input():
+    x = np.ones(1, dtype=np.float32)
+    got = np.asarray(stft_mod.stft(jnp.asarray(x), 64, 16))
+    want = o.o_stft(x, 64, 16, sqrt_hann_window(64))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+# ------------------------------------------------------------------- filters
+
+@pytest.mark.parametrize("sigma", [0.5, 2.0, 25.0])
+def test_gaussian_blur_1d(sigma):
+    x = RNG.standard_normal(400).astype(np.float32)
+    got = np.asarray(filters.gaussian_blur1d(jnp.asarray(x), sigma))
+    want = o.o_gaussian1d(x, sigma)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_gaussian_blur_large_sigma_fft_path():
+    x = RNG.standard_normal(20000).astype(np.float32)
+    sigma = 450.0  # kernel of 3601 taps -> FFT path
+    got = np.asarray(filters.gaussian_blur1d(jnp.asarray(x), sigma))
+    want = o.o_gaussian1d(x, sigma)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
+def test_gaussian_blur_axis0_2d():
+    x = RNG.standard_normal((129, 50)).astype(np.float32)
+    got = np.asarray(filters.gaussian_blur1d(jnp.asarray(x), 2.0, axis=0))
+    want = o.o_gaussian1d(x, 2.0, axis=0)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_smooth_mask_downsampled():
+    mask = (RNG.random(4000) > 0.5).astype(np.float32)
+    got = np.asarray(filters.smooth_mask_downsampled(jnp.asarray(mask),
+                                                     sigma=100.0, ds=4))
+    short = mask[::4]
+    want_s = o.o_gaussian1d(short, 25.0)
+    want = np.interp(np.linspace(0, 1, 4000),
+                     np.linspace(0, 1, len(want_s)), want_s)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+# -------------------------------------------------------------------- interp
+
+def test_linear_interp_extrap():
+    x = np.sort(RNG.random(12)) * 10
+    y = RNG.standard_normal(12)
+    xn = np.linspace(-3, 13, 100)
+    got = np.asarray(interp.linear_interp_extrap(
+        jnp.asarray(x), jnp.asarray(y), jnp.asarray(xn)))
+    want = o.o_interp_extrap(x, y, xn)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_resample_1d():
+    x = RNG.standard_normal(37).astype(np.float32)
+    got = np.asarray(interp.resample_1d(jnp.asarray(x), 91))
+    want = np.interp(np.linspace(0, 36, 91), np.arange(37), x)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_resample_2d():
+    x = RNG.standard_normal((5, 20)).astype(np.float32)
+    got = np.asarray(interp.resample_2d(jnp.asarray(x), 31))
+    want = np.stack([np.interp(np.linspace(0, 19, 31), np.arange(20), r)
+                     for r in x])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+# ----------------------------------------------------------------------- IIR
+
+def test_one_pole_highpass():
+    x = RNG.standard_normal(3000).astype(np.float32)
+    got = np.asarray(scan_iir.one_pole_highpass(jnp.asarray(x), 44100, 300.0))
+    want = o.o_one_pole_hp(x, 44100, 300.0)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("btype,order", [("lowpass", 4), ("highpass", 6),
+                                         ("lowpass", 1)])
+def test_dynamic_butter(btype, order):
+    n = 2000
+    x = RNG.standard_normal(n).astype(np.float32)
+    f0 = np.where(RNG.random(n) > 0.3,
+                  220.0 + 50 * np.sin(np.arange(n) / 200), 0.0)
+    got = np.asarray(scan_iir.dynamic_butter_filter(
+        jnp.asarray(x), jnp.asarray(f0.astype(np.float32)), 44100, 1.5,
+        order=order, btype=btype))
+    want = o.o_dynamic_butter(x, f0, 44100, 1.5, order, btype)
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-4)
+
+
+def test_dynamic_butter_unvoiced_constant_cutoff():
+    n = 800
+    x = RNG.standard_normal(n).astype(np.float32)
+    f0 = np.zeros(n)
+    got = np.asarray(scan_iir.dynamic_butter_filter(
+        jnp.asarray(x), jnp.asarray(f0.astype(np.float32)), 44100, 200.0,
+        order=6, btype="highpass"))
+    want = o.o_dynamic_butter(x, f0, 44100, 200.0, 6, "highpass")
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-4)
+
+
+# --------------------------------------------------------------- pulse train
+
+def _f0_track(n, sr):
+    """Voiced-unvoiced-voiced f0 with a glide, the pulse kernel's worst diet."""
+    t = np.arange(n) / sr
+    f0 = 220.0 * 2 ** (0.3 * np.sin(2 * np.pi * 2.0 * t))
+    f0[int(0.3 * n): int(0.45 * n)] = 0.0  # unvoiced gap
+    f0[: int(0.02 * n)] = 0.0              # leading silence
+    return f0.astype(np.float32)
+
+
+def test_forward_fill():
+    vals = jnp.asarray(np.array([0, 0, 5, 0, 7, 0, 0], dtype=np.float32))
+    got = np.asarray(pulse.forward_fill(vals, vals > 0, 99.0))
+    np.testing.assert_allclose(got, [99, 99, 5, 5, 7, 7, 7])
+
+
+def test_pulse_train_matches_oracle():
+    sr = 44100
+    n = 20000
+    f0 = _f0_track(n, sr)
+    got = np.asarray(pulse.pulse_train(jnp.asarray(f0), sr))
+    want = o.o_pulse_train(f0, sr)
+    # onset alignment can differ by float32-vs-float64 phase rounding on a
+    # handful of samples; compare via max abs error over the waveform.
+    err = np.max(np.abs(got - want))
+    assert err < 5e-3, f"max abs err {err}"
+
+
+def test_pulse_train_constant_f0_periodicity():
+    # 199.3 Hz avoids exact integer phase crossings (44100/200 = 220.5 would
+    # make every 2nd onset a float tie-break coin flip vs the f64 oracle).
+    sr = 44100
+    f0 = np.full(8000, 199.3, dtype=np.float32)
+    y = np.asarray(pulse.pulse_train(jnp.asarray(f0), sr))
+    want = o.o_pulse_train(f0, sr)
+    np.testing.assert_allclose(y, want, atol=2e-3)
+    # autocorrelation peak at the fundamental period
+    period = int(round(sr / 199.3))
+    seg = y[1000:6000]
+    ac = np.correlate(seg, seg, "full")[len(seg) - 1:]
+    peak_lag = np.argmax(ac[period - 5: period + 6]) + period - 5
+    assert abs(peak_lag - period) <= 1
+
+
+def test_pulse_train_silence_has_no_pulses():
+    f0 = np.zeros(5000, dtype=np.float32)
+    y = np.asarray(pulse.pulse_train(jnp.asarray(f0), 44100))
+    assert np.all(y == 0)
+
+
+def test_subharm_pulses_match_oracle():
+    sr = 44100
+    n = 15000
+    f0 = _f0_track(n, sr)
+    mask = (f0 > 75).astype(np.float32)
+    got = np.asarray(pulse.subharm_pulse_train(
+        jnp.asarray(f0), sr, jnp.asarray(mask), semitones=12, weight=0.75))
+    want = o.o_subharm_pulses(f0, sr, mask, 12, 0.75)
+    err = np.max(np.abs(got - want))
+    assert err < 5e-3, f"max abs err {err}"
