@@ -1,0 +1,146 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from goofer_tpu.analysis import pitch as pitch_mod
+from goofer_tpu.analysis import formants as formant_mod
+from goofer_tpu.analysis.features import extract_features
+
+SR = 44100
+RNG = np.random.default_rng(3)
+
+
+def _sawtooth(f0_hz, dur, sr=SR, amp=0.4):
+    n = int(dur * sr)
+    if np.isscalar(f0_hz):
+        f0_hz = np.full(n, f0_hz)
+    phase = np.cumsum(f0_hz / sr)
+    return (amp * (2.0 * (phase % 1.0) - 1.0)).astype(np.float32)
+
+
+# ----------------------------------------------------------------- gap fill
+
+def test_fix_f0_gaps_bridges_short_gaps():
+    f0 = np.array([100, 100, 0, 0, 120, 120, 0, 0, 0, 0, 0, 130, 0, 0],
+                  dtype=np.float32)
+    got = np.asarray(pitch_mod.fix_f0_gaps(jnp.asarray(f0), max_gap=4))
+    # gap of 2 between 100 and 120 -> bridged with ratios 1/3, 2/3
+    np.testing.assert_allclose(got[2], 100 * 2 / 3 + 120 / 3, rtol=1e-5)
+    np.testing.assert_allclose(got[3], 100 / 3 + 120 * 2 / 3, rtol=1e-5)
+    # gap of 5 > max_gap -> untouched
+    assert np.all(got[6:11] == 0)
+    # trailing gap (no right neighbor) -> untouched
+    assert np.all(got[12:] == 0)
+
+
+def test_fix_f0_gaps_edge_gaps_untouched():
+    f0 = np.array([0, 0, 100, 100, 0], dtype=np.float32)
+    got = np.asarray(pitch_mod.fix_f0_gaps(jnp.asarray(f0), max_gap=4))
+    np.testing.assert_allclose(got, f0)
+
+
+# --------------------------------------------------------------------- pitch
+
+def test_pitch_constant_tone():
+    y = _sawtooth(220.0, 0.5)
+    f0 = pitch_mod.track_pitch(jnp.asarray(y), SR, 256 / SR)
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 0.8 * len(f0)
+    assert abs(np.median(voiced) - 220.0) < 2.0
+
+
+def test_pitch_glide_tracks_curve():
+    n = int(0.8 * SR)
+    t = np.arange(n) / SR
+    f_curve = 180.0 * 2 ** (0.5 * t / 0.8)  # half-octave glide
+    y = _sawtooth(f_curve, 0.8)
+    f0 = pitch_mod.track_pitch(jnp.asarray(y), SR, 256 / SR)
+    # compare in cents over voiced interior frames
+    centers = np.linspace(0, n / SR, len(f0))
+    want = 180.0 * 2 ** (0.5 * np.clip(centers, 0, 0.8) / 0.8)
+    sel = (f0 > 0)
+    sel[:3] = sel[-3:] = False
+    cents = 1200 * np.log2(f0[sel] / want[sel])
+    assert np.sqrt(np.mean(cents ** 2)) < 30.0, np.sqrt(np.mean(cents ** 2))
+
+
+def test_pitch_noise_is_unvoiced():
+    y = (0.1 * RNG.standard_normal(SR // 2)).astype(np.float32)
+    f0 = pitch_mod.track_pitch(jnp.asarray(y), SR, 256 / SR)
+    assert np.mean(f0 > 0) < 0.2
+
+
+def test_pitch_silence_then_tone():
+    y = np.concatenate([np.zeros(SR // 4, dtype=np.float32),
+                        _sawtooth(300.0, 0.25)])
+    f0 = pitch_mod.track_pitch(jnp.asarray(y), SR, 256 / SR)
+    half = len(f0) // 2
+    assert np.mean(f0[:half - 4] > 0) < 0.3
+    voiced = f0[half + 2:]
+    voiced = voiced[voiced > 0]
+    assert abs(np.median(voiced) - 300.0) < 3.0
+
+
+# ------------------------------------------------------------------ formants
+
+def _vowel(f0_hz, formant_hz, bws, dur=0.5, sr=SR):
+    """Impulse train through parallel two-pole resonators."""
+    n = int(dur * sr)
+    period = int(round(sr / f0_hz))
+    x = np.zeros(n)
+    x[::period] = 1.0
+    y = np.zeros(n)
+    for f, bw in zip(formant_hz, bws):
+        r = np.exp(-np.pi * bw / sr)
+        theta = 2 * np.pi * f / sr
+        a1, a2 = 2 * r * np.cos(theta), -r * r
+        yy = np.zeros(n)
+        for i in range(n):
+            yy[i] = x[i] + a1 * yy[i - 1] + a2 * yy[i - 2] if i >= 2 else x[i]
+        y += yy
+    return (0.3 * y / np.max(np.abs(y))).astype(np.float32)
+
+
+def test_formants_synthetic_vowel():
+    want = [700.0, 1220.0, 2600.0]
+    y = _vowel(120.0, want, [80.0, 90.0, 120.0])
+    tracks = formant_mod.track_formants(jnp.asarray(y), SR, 256 / SR)
+    assert tracks.shape[0] == 5
+    mid = tracks[:, tracks.shape[1] // 4: -tracks.shape[1] // 4]
+    for k, f_want in enumerate(want):
+        vals = mid[k][mid[k] > 0]
+        assert len(vals) > 0
+        med = np.median(vals)
+        assert abs(med - f_want) / f_want < 0.12, (k, med, f_want)
+
+
+def test_durand_kerner_known_roots():
+    # (z-0.5)(z-2)(z^2+1) = z^4 -2.5 z^3 + 2 z^2 -2.5 z + 1
+    c = np.array([[1.0, -2.5, 2.0, -2.5, 1.0]], dtype=np.float32)
+    roots = np.asarray(formant_mod._poly_roots_dk(jnp.asarray(c), 4))
+
+    def keyed(arr):
+        return sorted(arr, key=lambda z: (round(z.real, 4), round(z.imag, 4)))
+
+    got = keyed(roots[0])
+    want = keyed(np.array([0.5, 2.0, 1j, -1j]))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+# ------------------------------------------------------------------ features
+
+def test_extract_features_shapes_and_semantics():
+    y = _sawtooth(220.0, 0.4)
+    env, f0i, mask, forms, knots = extract_features(y, SR, 1024, 256)
+    n_frames = 1 + len(y) // 256
+    assert env.shape == (513, n_frames)
+    assert len(f0i) == len(y)
+    assert len(mask) == len(y)
+    assert set(forms.keys()) == {1, 2, 3, 4, 5}
+    assert np.all(f0i >= 1e-5) and np.all(f0i <= 2000)
+    assert np.all((mask == 0) | (mask == 1))
+    # voiced region should dominate and sit near 220
+    assert mask.mean() > 0.7
+    assert abs(np.median(f0i[mask > 0]) - 220) < 3
+    assert knots["mode"] == "knots"
+    assert knots["n_bins"] == 513
