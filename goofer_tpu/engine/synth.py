@@ -1,0 +1,250 @@
+"""Harmonic-plus-noise resynthesis as a single jit-traced graph.
+
+Mirrors the reference resynthesis entry (ref: GOOFER.py:971-1220):
+LF pulse train -> STFT -> f0-tracking sigmoid highpass -> envelope
+imposition with the 1..100 boost tilt -> brightness shelf + freq blur on
+voiced frames -> iSTFT, plus a random-phase noise branch split into
+breath (highpassed, voiced-gated) and unvoiced (inverse-gated) stems,
+optional jitter/subharmonic/roughness texture, and peak normalization
+``gain = (1/peak) ** normalize``.
+
+Split of parameters:
+
+* ``SynthStatic`` — hashable compile-time config: shapes, frame params and
+  branch toggles.  Changing any of these retraces (a handful of variants
+  per session).
+* ``knobs`` — a dict of traced f32 scalars (shift ratios, mix strengths,
+  normalize amount...).  Changing these does NOT retrace, so successive
+  notes with different flag values reuse the compiled graph.
+
+The ``y`` audio argument of the reference is only ever used for its length
+(the resampler passes an empty bool buffer, ref: SillySampler.py:1001), so
+the graph takes no waveform input at all.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from goofer_tpu import config
+from goofer_tpu.ops.envelope import (
+    match_env_frames,
+    shift_formants_global,
+    warp_env_by_formants,
+)
+from goofer_tpu.ops.filters import (
+    gaussian_blur1d,
+    gaussian_blur_complex_freq,
+    smooth_mask_downsampled,
+)
+from goofer_tpu.ops.jitter import (
+    f0_jitter as make_f0_jitter,
+    subharm_vibrato as apply_subharm_vibrato,
+    vocal_roughness,
+    volume_jitter as make_volume_jitter,
+)
+from goofer_tpu.ops.pulse import pulse_train, subharm_pulse_train
+from goofer_tpu.ops.stft import frame_count, istft, stft
+from goofer_tpu.ops.windows import boost_curve, brightness_curves, rfft_freqs
+
+
+@dataclass(frozen=True)
+class SynthStatic:
+    """Compile-time synthesis configuration (hashable)."""
+    sr: int
+    n_fft: int = 1024
+    hop: int = 256
+    n: int = 0                       # output length in samples
+    f0_jitter: bool = False
+    f0_jitter_speed: float = 100.0
+    volume_jitter: bool = False
+    volume_vibrato: bool = False
+    volume_jitter_speed: float = 150.0
+    add_subharm: bool = False
+    subharm_semitones: tuple = (-12.0,)
+    subharm_vibrato: bool = False
+    subharm_vibrato_delay: float = 0.1
+    subharm_f0_jitter_on: bool = False
+    cut_subharm_below_f0: bool = True
+    warp_formants: bool = False
+    formant_shift_on: bool = False
+    apply_brightness: bool = True
+    noise_transition_smoothness: float = 100.0
+    roughness_on: bool = False
+    rough_k_list: tuple = (2, 3, 4)
+    rough_h_list: tuple | None = None
+    rough_alpha: float = 0.6
+    rough_hp_fc: float = 320.0
+    rough_noise_amp: float = 0.6
+    rough_noise_smooth_ms: float = 120.0
+    rough_alpha_slew_ms: float = 120.0
+    max_overlap: int = config.PULSE_MAX_OVERLAP
+
+
+def default_knobs() -> dict:
+    """Traced scalar parameters with the reference's defaults
+    (ref: GOOFER.py:971-983)."""
+    return {
+        "pitch_shift": 1.0,
+        "formant_shift": 1.0,
+        "formant_band_shifts": np.ones(4, dtype=np.float32),  # F1..F4
+        "uv_strength": 0.75,
+        "breath_strength": 0.1,
+        "normalize": 1.0,
+        "f0_jitter_strength": 1.5,
+        "volume_jitter_strength_harm": 50.0,
+        "volume_jitter_strength_breath": 100.0,
+        "subharm_weight": 0.5,
+        "subharm_vibrato_rate": 6.0,
+        "subharm_vibrato_depth": 0.1,
+        "subharm_f0_jitter_strength": 0.0,
+    }
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _synth_core(st: SynthStatic, env_spec, f0_interp, voicing_mask,
+                formants_array, knobs, key):
+    sr, n_fft, hop, n = st.sr, st.n_fft, st.hop, st.n
+    k_phase, k_f0j, k_vjh, k_vjb, k_subj, k_rough = jax.random.split(key, 6)
+
+    env_spec = env_spec.astype(jnp.float32)
+    f0 = f0_interp.astype(jnp.float32)
+    mask = voicing_mask.astype(jnp.float32)
+
+    env4breath = gaussian_blur1d(env_spec, 1.75, axis=0)
+    f0 = f0 * knobs["pitch_shift"]
+
+    if st.warp_formants:
+        shifted = formants_array * knobs["formant_band_shifts"][:, None]
+        env_spec = warp_env_by_formants(env_spec, formants_array, shifted, sr)
+    if st.formant_shift_on:
+        env_spec = shift_formants_global(env_spec, knobs["formant_shift"], sr)
+
+    if st.f0_jitter:
+        jit_track = make_f0_jitter(k_f0j, n, sr, st.f0_jitter_speed,
+                                   knobs["f0_jitter_strength"])
+        f0 = f0 * (1.0 + (jit_track - 1.0) * mask)
+
+    pulse = pulse_train(f0, sr, max_overlap=st.max_overlap)
+
+    if st.add_subharm:
+        f0_sub = f0
+        if st.subharm_f0_jitter_on:
+            sj = make_f0_jitter(k_subj, n, sr, st.f0_jitter_speed,
+                                knobs["subharm_f0_jitter_strength"])
+            f0_sub = f0_sub * (1.0 + (sj - 1.0) * mask)
+        if st.subharm_vibrato:
+            f0_sub = apply_subharm_vibrato(
+                f0_sub, sr, knobs["subharm_vibrato_rate"],
+                knobs["subharm_vibrato_depth"], st.subharm_vibrato_delay)
+        pulse = pulse + subharm_pulse_train(
+            f0_sub, sr, mask, list(st.subharm_semitones),
+            knobs["subharm_weight"])
+
+    S_harm = stft(pulse, n_fft, hop)
+    t_frames = S_harm.shape[1]
+
+    freqs = jnp.asarray(rfft_freqs(sr, n_fft))          # (n_bins, 1)
+    f0_frames = match_env_frames(f0[None, ::hop], t_frames)[0]
+    hp_mask = 1.0 / (1.0 + jnp.exp(
+        -jnp.clip((freqs - f0_frames[None, :]) / 5.0, -60.0, 60.0)))
+
+    if st.cut_subharm_below_f0:
+        S_harm = S_harm * hp_mask
+    env_m = match_env_frames(env_spec, t_frames)
+
+    mag_harm = jnp.max(jnp.abs(S_harm) + 1e-8)
+    boost = jnp.asarray(boost_curve(n_fft))
+    S_harm = (S_harm / mag_harm) * env_m * boost
+
+    bright_harm, bright_breath = brightness_curves(sr, n_fft)
+    voiced_frames = match_env_frames(mask[None, ::hop], t_frames)[0]
+    voiced_cols = (voiced_frames > 0)[None, :]
+
+    if st.apply_brightness:
+        S_v = gaussian_blur_complex_freq(
+            S_harm * jnp.asarray(bright_harm), 0.5)
+        S_harm = jnp.where(voiced_cols, S_v, S_harm)
+
+    harmonic = istft(S_harm, hop, length=n)
+
+    env_noise = match_env_frames(env4breath, t_frames)
+    phi = jax.random.uniform(k_phase, env_noise.shape, dtype=jnp.float32,
+                             minval=0.0, maxval=2.0 * np.pi)
+    U = jax.lax.complex(jnp.cos(phi), jnp.sin(phi))
+    S_uv = U * env_noise
+    S_breath = S_uv * hp_mask
+
+    if st.apply_brightness:
+        S_bv = gaussian_blur_complex_freq(
+            S_breath * jnp.asarray(bright_breath), 0.5)
+        S_breath = jnp.where(voiced_cols, S_bv, S_breath)
+
+    aper_breath = istft(S_breath, hop, length=n)
+    aper_uv_raw = istft(S_uv, hop, length=n)
+
+    mask_smooth = smooth_mask_downsampled(
+        mask, sigma=st.noise_transition_smoothness, ds=4)
+    aper_bre = aper_breath * mask_smooth * knobs["breath_strength"]
+    aper_uv = aper_uv_raw * (1.0 - mask_smooth) * knobs["uv_strength"]
+
+    if st.volume_jitter:
+        hj = make_volume_jitter(k_vjh, n, sr, st.volume_jitter_speed,
+                                knobs["volume_jitter_strength_harm"],
+                                st.volume_vibrato)
+        bj = make_volume_jitter(k_vjb, n, sr, st.volume_jitter_speed,
+                                knobs["volume_jitter_strength_breath"],
+                                st.volume_vibrato)
+        vj_mask = gaussian_blur1d(mask, 20.0)
+        harmonic = harmonic * (1.0 + (hj - 1.0) * vj_mask)
+        aper_bre = aper_bre * (1.0 + (bj - 1.0) * vj_mask)
+
+    combined = harmonic + aper_uv + aper_bre
+
+    if st.roughness_on:
+        harmonic_rough = vocal_roughness(
+            k_rough, harmonic, f0, mask, sr,
+            k_list=st.rough_k_list, h_list=st.rough_h_list,
+            alpha=st.rough_alpha, hp_fc=st.rough_hp_fc,
+            noise_amp=st.rough_noise_amp,
+            noise_smooth_ms=st.rough_noise_smooth_ms,
+            alpha_slew_ms=st.rough_alpha_slew_ms)
+        combined = harmonic_rough + aper_uv + aper_bre
+
+    norm_amt = jnp.clip(knobs["normalize"], 0.0, 1.0)
+    peak = jnp.max(jnp.abs(combined)) + 1e-12
+    gain = (1.0 / peak) ** norm_amt
+
+    return combined * gain, harmonic * gain, aper_uv * gain, aper_bre * gain
+
+
+def _as_knob_arrays(knobs: dict) -> dict:
+    out = {}
+    for k, v in knobs.items():
+        out[k] = jnp.asarray(v, dtype=jnp.float32)
+    return out
+
+
+def synthesize(st: SynthStatic, env_spec, f0_interp, voicing_mask,
+               formants_array=None, knobs: dict | None = None, key=None):
+    """Host-facing entry.  ``env_spec`` dense (n_bins, T); ``formants_array``
+    (4, T) or None; returns (mix, harmonic, aper_uv, aper_bre) as device
+    arrays of length ``st.n``."""
+    full = default_knobs()
+    if knobs:
+        full.update(knobs)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if formants_array is None:
+        t = np.asarray(env_spec).shape[1]
+        formants_array = jnp.zeros((4, t), dtype=jnp.float32)
+    if st.n == 0:
+        raise ValueError("SynthStatic.n (output length) must be set")
+    return _synth_core(st, jnp.asarray(env_spec), jnp.asarray(f0_interp),
+                       jnp.asarray(voicing_mask),
+                       jnp.asarray(formants_array, dtype=jnp.float32),
+                       _as_knob_arrays(full), key)

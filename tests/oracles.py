@@ -235,3 +235,102 @@ def o_warp_env_by_formants(env, orig_f, shift_f, sr):
         warped = o_interp_extrap(np.array(dst), np.array(src), freqs)
         out[:, j] = o_interp_extrap(freqs, env[:, j], warped)
     return out
+
+
+def o_brightness_curve(n_bins, sr, start_hz, end_hz, gain_db):
+    """GOOFER.py:585-595."""
+    freqs = np.linspace(0, sr / 2, n_bins)
+    gain = np.ones_like(freqs)
+    i0 = np.searchsorted(freqs, start_hz)
+    i1 = np.searchsorted(freqs, end_hz)
+    rise = np.linspace(0, 1, i1 - i0)
+    g = 10 ** (gain_db / 20.0)
+    gain[i0:i1] = 1 + rise * (g - 1)
+    gain[i1:] = g
+    return gain[:, None]
+
+
+def o_smooth_mask(mask, sigma=100, ds=4):
+    """GOOFER.py:556-569."""
+    short = mask[::ds].astype(np.float64)
+    short_s = o_gaussian1d(short, max(1.0, sigma / ds))
+    return np.interp(np.linspace(0, 1, len(mask)),
+                     np.linspace(0, 1, len(short_s)), short_s)
+
+
+def o_synthesize(env, f0, mask, n, sr, n_fft, hop,
+                 uv_strength=0.75, breath_strength=0.1, normalize=1.0,
+                 cut_below_f0=True, apply_brightness=True,
+                 noise_smoothness=100, rng=None):
+    """GOOFER.py:971-1220, neutral path (no jitter/subharm/roughness).
+
+    Returns (mix, harmonic, aper_uv, aper_bre).  Noise phases come from
+    ``rng`` (or are zero when rng is None, making the noise branch
+    deterministic for testing)."""
+    win = np.hanning(n_fft) ** 0.5
+    env = np.asarray(env, dtype=np.float64)
+    env4b = o_gaussian1d(env, 1.75, axis=0)
+
+    pulse = o_pulse_train(f0, sr)
+    S_harm = o_stft(pulse.astype(np.float32), n_fft, hop, win)
+    t = S_harm.shape[1]
+
+    freqs = np.fft.rfftfreq(n_fft, 1 / sr)[:, None]
+    f0f = f0[::hop]
+    if len(f0f) < t:
+        f0f = np.pad(f0f, (0, t - len(f0f)), mode="edge")
+    f0f = f0f[:t]
+    hp = 1.0 / (1.0 + np.exp(-np.clip((freqs - f0f[None, :].reshape(1, -1))
+                                      / 5.0, -60, 60)))
+    if cut_below_f0:
+        S_harm = S_harm * hp
+    if env.shape[1] > t:
+        env = env[:, :t]
+    elif env.shape[1] < t:
+        env = np.pad(env, ((0, 0), (0, t - env.shape[1])), mode="edge")
+    mag = np.max(np.abs(S_harm) + 1e-8)
+    n_bins = S_harm.shape[0]
+    boost = np.linspace(1, 100, n_bins)[:, None]
+    S_harm = (S_harm / mag) * env * boost
+
+    bh = o_brightness_curve(n_bins, sr, 2000, 3500, 3.0)
+    bb = o_brightness_curve(n_bins, sr, 3500, 5000, 20.0)
+    vf = mask[::hop]
+    if len(vf) < t:
+        vf = np.pad(vf, (0, t - len(vf)), mode="edge")
+    vf = vf[:t]
+    cols = np.nonzero(vf > 0)[0]
+    if apply_brightness and len(cols):
+        block = S_harm[:, cols] * bh
+        S_harm[:, cols] = o_gaussian1d(block.real, 0.5, axis=0) \
+            + 1j * o_gaussian1d(block.imag, 0.5, axis=0)
+    harmonic = o_istft(S_harm, hop, win, length=n).astype(np.float64)
+
+    envn = env4b
+    if envn.shape[1] > t:
+        envn = envn[:, :t]
+    elif envn.shape[1] < t:
+        envn = np.pad(envn, ((0, 0), (0, t - envn.shape[1])), mode="edge")
+    if rng is None:
+        phi = np.zeros((n_bins, t))
+    else:
+        phi = rng.uniform(0, 2 * np.pi, size=(n_bins, t))
+    U = np.cos(phi) + 1j * np.sin(phi)
+    S_uv = U * envn
+    S_breath = S_uv * hp
+    if apply_brightness and len(cols):
+        block = S_breath[:, cols] * bb
+        S_breath[:, cols] = o_gaussian1d(block.real, 0.5, axis=0) \
+            + 1j * o_gaussian1d(block.imag, 0.5, axis=0)
+    aper_breath = o_istft(S_breath, hop, win, length=n).astype(np.float64)
+    aper_uv_raw = o_istft(S_uv, hop, win, length=n).astype(np.float64)
+
+    ms = o_smooth_mask(mask, noise_smoothness, 4)
+    aper_bre = aper_breath * ms * breath_strength
+    aper_uv = aper_uv_raw * (1 - ms) * uv_strength
+
+    combined = harmonic + aper_uv + aper_bre
+    peak = float(np.max(np.abs(combined)) + 1e-12)
+    gain = (1.0 / peak) ** float(np.clip(normalize, 0, 1))
+    return (combined * gain, harmonic * gain, aper_uv * gain,
+            aper_bre * gain)
