@@ -334,3 +334,106 @@ def o_synthesize(env, f0, mask, n, sr, n_fft, hop,
     gain = (1.0 / peak) ** float(np.clip(normalize, 0, 1))
     return (combined * gain, harmonic * gain, aper_uv * gain,
             aper_bre * gain)
+
+
+def o_loop_env(env_tail, desired, mode):
+    """SillySampler.py:625-696 — sustain looping of the envelope tail,
+    including the concat mode's seam-crossfade construction (whose output
+    is intentionally longer than `desired`, a reference quirk downstream
+    match_env_frames absorbs)."""
+    tail = env_tail.shape[1]
+    if tail >= desired:
+        return env_tail[:, :desired]
+    reps = desired // tail
+    rem = desired % tail
+    if mode == "stretch":
+        if tail == 0:
+            return np.zeros((env_tail.shape[0], desired), dtype=np.float32)
+        factor = desired / tail
+        target = int(tail * factor)
+        pos = np.linspace(0, tail - 1, target)
+        lo = np.clip(np.floor(pos).astype(int), 0, tail - 2 if tail > 1 else 0)
+        frac = pos - lo
+        return (env_tail[:, lo] * (1 - frac)
+                + env_tail[:, np.minimum(lo + 1, tail - 1)] * frac)
+    if mode == "avg":
+        tile = (env_tail + env_tail[:, ::-1]) / 2.0
+        parts = [tile] * reps
+        if rem:
+            parts.append(tile[:, :rem])
+        return np.concatenate(parts, axis=1)
+    # concat
+    full = [env_tail.copy()]
+    for _ in range(reps - 1):
+        prev = full[-1]
+        f = min(8, tail // 2)
+        fi = np.linspace(0, 1, f)[None, :]
+        fo = np.linspace(1, 0, f)[None, :]
+        cross = prev[:, -f:] * fo + env_tail[:, :f] * fi
+        full[-1] = np.concatenate([prev[:, :-f], cross, env_tail[:, f:]],
+                                  axis=1)
+        full.append(env_tail.copy())
+    if rem:
+        last = env_tail[:, :rem]
+        prev = full[-1]
+        f = min(8, rem // 2)
+        if f > 0:
+            fi = np.linspace(0, 1, f)[None, :]
+            fo = np.linspace(1, 0, f)[None, :]
+            cross = prev[:, -f:] * fo + last[:, :f] * fi
+            chunk = np.concatenate([prev[:, :-f], cross, last[:, f:]], axis=1)
+        else:
+            chunk = np.concatenate([prev, last], axis=1)
+        full[-1] = chunk
+    return np.concatenate(full, axis=1)
+
+
+def o_loop_track(track, desired, mode):
+    """SillySampler.py:717-744 — formant-track looping."""
+    track = np.asarray(track, dtype=np.float32)
+    if mode == "stretch":
+        if track.size == 0:
+            return np.zeros(desired, dtype=np.float32)
+        factor = desired / float(track.size)
+        target = int(track.size * factor)
+        pos = np.linspace(0, track.size - 1, target)
+        return np.interp(pos, np.arange(track.size), track).astype(np.float32)
+    if track.size == 0:
+        return np.zeros(desired, dtype=np.float32)
+    reps = desired // track.size
+    rem = desired % track.size
+    if mode == "avg":
+        tile = (track + track[::-1]) * 0.5
+        base = np.tile(tile, reps)
+        if rem:
+            base = np.concatenate([base, tile[:rem]])
+        return base.astype(np.float32)
+    base = np.tile(track, reps)
+    if rem:
+        base = np.concatenate([base, track[:rem]])
+    return base.astype(np.float32)
+
+
+def o_loop_samples(x, desired):
+    """SillySampler.py:698-712 — f0/mask always concat-tile."""
+    n = len(x)
+    if n >= desired:
+        return x[:desired]
+    reps = desired // n
+    rem = desired % n
+    parts = [x] * reps
+    if rem:
+        parts.append(x[:rem])
+    return np.concatenate(parts)
+
+
+def o_stretch_prefix_1d(x, pre_len, factor):
+    """SillySampler.py:176-187."""
+    n = len(x)
+    if pre_len <= 1 or n <= 1 or abs(factor - 1.0) < 1e-6:
+        return x
+    pre_new = max(1, int(round(pre_len * factor)))
+    n_new = pre_new + (n - pre_len)
+    idx = np.arange(n_new, dtype=np.float64)
+    pos = np.where(idx < pre_new, idx / factor, (idx - pre_new) + pre_len)
+    return o_interp_extrap(np.arange(n, dtype=np.float64), x, pos)
