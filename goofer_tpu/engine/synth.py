@@ -105,8 +105,16 @@ def default_knobs() -> dict:
     }
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _synth_core(st: SynthStatic, env_spec, f0_interp, voicing_mask,
+def synth_core_impl(st: SynthStatic, env_spec, f0_interp, voicing_mask,
+                    formants_array, knobs, key):
+    """Unjitted single-note synthesis graph; vmap/pjit-able.  Prefer
+    ``synthesize`` (host entry) or ``_synth_core`` (jitted) for direct
+    use."""
+    return _synth_body(st, env_spec, f0_interp, voicing_mask,
+                       formants_array, knobs, key)
+
+
+def _synth_body(st: SynthStatic, env_spec, f0_interp, voicing_mask,
                 formants_array, knobs, key):
     sr, n_fft, hop, n = st.sr, st.n_fft, st.hop, st.n
     k_phase, k_f0j, k_vjh, k_vjb, k_subj, k_rough = jax.random.split(key, 6)
@@ -220,6 +228,9 @@ def _synth_core(st: SynthStatic, env_spec, f0_interp, voicing_mask,
     gain = (1.0 / peak) ** norm_amt
 
     return combined * gain, harmonic * gain, aper_uv * gain, aper_bre * gain
+
+
+_synth_core = partial(jax.jit, static_argnums=(0,))(synth_core_impl)
 
 
 def _as_knob_arrays(knobs: dict) -> dict:
