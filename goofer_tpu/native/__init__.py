@@ -1,0 +1,101 @@
+"""Native host runtime components (C++ via ctypes).
+
+The reference's host-native substrate is libsndfile (audio I/O) and
+Praat's C++ engine (analysis).  Analysis moved onto the TPU; the audio
+codec stays host-bound, so it is native here too: ``wavcodec.cpp`` is a
+dependency-free RIFF codec compiled on first use with the system g++ and
+loaded through ctypes (no pybind11 in this image).
+
+Falls back cleanly: callers should catch ImportError/OSError from
+``load()`` and use the pure-Python path (utils/audio_io does this).
+"""
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_HERE = Path(__file__).parent
+_SRC = _HERE / "wavcodec.cpp"
+_SO = _HERE / "_wavcodec.so"
+
+_lock = threading.Lock()
+_lib = None
+
+
+def build(force: bool = False) -> Path:
+    """Compile the codec shared library if needed."""
+    if _SO.exists() and not force \
+            and _SO.stat().st_mtime >= _SRC.stat().st_mtime:
+        return _SO
+    tmp = _SO.with_suffix(".so.tmp")
+    subprocess.run(
+        ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+         str(_SRC), "-o", str(tmp)],
+        check=True, capture_output=True)
+    tmp.replace(_SO)
+    return _SO
+
+
+def load():
+    """Build (if needed) and load the codec; raises on failure."""
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        so = build()
+        lib = ctypes.CDLL(str(so))
+        lib.wav_read_info.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_longlong)]
+        lib.wav_read_info.restype = ctypes.c_int
+        lib.wav_read_f32.argtypes = [
+            ctypes.c_char_p,
+            np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_longlong]
+        lib.wav_read_f32.restype = ctypes.c_int
+        lib.wav_write_pcm16.argtypes = [
+            ctypes.c_char_p,
+            np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_longlong, ctypes.c_int, ctypes.c_int]
+        lib.wav_write_pcm16.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def read_wav(path):
+    """Read a WAV as float32 [-1, 1); returns (data, sr).  Multichannel
+    data comes back as (frames, channels)."""
+    lib = load()
+    sr = ctypes.c_int()
+    ch = ctypes.c_int()
+    frames = ctypes.c_longlong()
+    rc = lib.wav_read_info(str(path).encode(), ctypes.byref(sr),
+                           ctypes.byref(ch), ctypes.byref(frames))
+    if rc != 0:
+        raise OSError(f"wav_read_info({path}) failed: {rc}")
+    n = frames.value * ch.value
+    out = np.empty(n, dtype=np.float32)
+    rc = lib.wav_read_f32(str(path).encode(), out, n)
+    if rc != 0:
+        raise OSError(f"wav_read_f32({path}) failed: {rc}")
+    if ch.value > 1:
+        out = out.reshape(frames.value, ch.value)
+    return out, sr.value
+
+
+def write_wav(path, data, sr: int) -> None:
+    """Write float audio as 16-bit PCM WAV."""
+    lib = load()
+    data = np.ascontiguousarray(np.asarray(data), dtype=np.float32)
+    if data.ndim == 1:
+        frames, channels = len(data), 1
+    else:
+        frames, channels = data.shape
+    rc = lib.wav_write_pcm16(str(path).encode(), data.reshape(-1),
+                             frames, channels, int(sr))
+    if rc != 0:
+        raise OSError(f"wav_write_pcm16({path}) failed: {rc}")

@@ -20,9 +20,32 @@ from scipy.io import wavfile as _wavfile
 
 AUDIO_EXTS = [".wav", ".flac", ".aiff", ".aif", ".mp3"]
 
+_native = None
+_native_failed = False
+
+
+def _native_codec():
+    """The C++ RIFF codec (goofer_tpu.native), or None if unavailable."""
+    global _native, _native_failed
+    if _native is None and not _native_failed:
+        try:
+            from goofer_tpu import native as mod
+            mod.load()
+            _native = mod
+        except Exception:
+            _native_failed = True
+    return _native
+
 
 def read_wav(path) -> tuple[np.ndarray, int]:
-    """Read an audio file as float64 in [-1, 1), mono-downmix NOT applied."""
+    """Read an audio file as float in [-1, 1), mono-downmix NOT applied."""
+    nat = _native_codec()
+    if nat is not None and str(path).lower().endswith(".wav"):
+        try:
+            data, sr = nat.read_wav(path)
+            return data.astype(np.float64), int(sr)
+        except OSError:
+            pass  # unusual subformat: fall through to the Python paths
     if _sf is not None:
         data, sr = _sf.read(str(path))
         return np.asarray(data), int(sr)
@@ -48,6 +71,10 @@ def read_wav_mono(path) -> tuple[np.ndarray, int]:
 
 def write_wav(path, data: np.ndarray, sr: int) -> None:
     """Write float audio as 16-bit PCM WAV (soundfile's default subtype)."""
+    nat = _native_codec()
+    if nat is not None and str(path).lower().endswith(".wav"):
+        nat.write_wav(path, data, sr)
+        return
     if _sf is not None:
         _sf.write(str(path), data, sr)
         return
