@@ -118,11 +118,11 @@ def _poly_roots_dk(coeffs: jnp.ndarray, order: int,
     return jax.lax.fori_loop(0, iters, step, z)
 
 
-def track_formants(y, sr: float, dt: float, max_formants: int = 5,
-                   max_formant_hz: float = 5500.0,
-                   window_half_sec: float = 0.025,
-                   target_frames: int | None = None) -> np.ndarray:
-    """Formant tracks, shape (max_formants, n_frames); 0.0 where missing."""
+def formant_graph(y: jnp.ndarray, sr: float, dt: float,
+                  max_formants: int = 5, max_formant_hz: float = 5500.0,
+                  window_half_sec: float = 0.025) -> jnp.ndarray:
+    """Pure-JAX formant tracks (max_formants, n_frames), 0.0 where
+    missing; traceable into a larger analysis graph."""
     y = jnp.asarray(y, dtype=jnp.float32)
     y_rs, sr2 = _resample_to(y, float(sr), 2.0 * max_formant_hz)
     n = int(y_rs.shape[0])
@@ -159,8 +159,17 @@ def track_formants(y, sr: float, dt: float, max_formants: int = 5,
     freqs = jnp.where(ok, freqs, jnp.inf)
     freqs = jnp.sort(freqs, axis=1)[:, :max_formants]
     freqs = jnp.where(jnp.isfinite(freqs), freqs, 0.0)
+    return freqs.T                                      # (max_formants, F)
 
-    tracks = np.asarray(freqs).T                        # (max_formants, F)
+
+def track_formants(y, sr: float, dt: float, max_formants: int = 5,
+                   max_formant_hz: float = 5500.0,
+                   window_half_sec: float = 0.025,
+                   target_frames: int | None = None) -> np.ndarray:
+    """Formant tracks, shape (max_formants, n_frames); 0.0 where missing."""
+    tracks = np.asarray(formant_graph(
+        jnp.asarray(y, dtype=jnp.float32), sr, dt, max_formants,
+        max_formant_hz, window_half_sec))
     if target_frames is not None:
         cur = tracks.shape[1]
         if cur < target_frames:

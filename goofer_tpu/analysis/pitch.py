@@ -149,9 +149,9 @@ def _viterbi(freqs, strengths, unvoiced_strength, cfg: PitchConfig,
     return f0
 
 
-def track_pitch(y, sr: float, dt: float,
-                cfg: PitchConfig = PitchConfig()) -> np.ndarray:
-    """Frame-rate F0 track in Hz, 0 where unvoiced."""
+def pitch_graph(y: jnp.ndarray, sr: float, dt: float,
+                cfg: PitchConfig = PitchConfig()) -> jnp.ndarray:
+    """Pure-JAX frame-rate F0 track (traceable into a larger graph)."""
     y = jnp.asarray(y, dtype=jnp.float32)
     n = y.shape[0]
     wlen = int(round(cfg.periods_per_window / cfg.f0_min * sr))
@@ -174,12 +174,18 @@ def track_pitch(y, sr: float, dt: float,
         best = jnp.argmax(jnp.concatenate(
             [strengths[0], unvoiced_strength[:1]]))
         f_all = jnp.concatenate([freqs[0], jnp.zeros((1,))])
-        return np.asarray(f_all[best]).reshape(1)
+        return f_all[best].reshape(1)
 
     dt_ratio = dt / 0.01
-    f0 = _viterbi(freqs, strengths, unvoiced_strength, cfg,
-                  jnp.float32(dt_ratio))
-    return np.asarray(f0)
+    return _viterbi(freqs, strengths, unvoiced_strength, cfg,
+                    jnp.float32(dt_ratio))
+
+
+def track_pitch(y, sr: float, dt: float,
+                cfg: PitchConfig = PitchConfig()) -> np.ndarray:
+    """Frame-rate F0 track in Hz, 0 where unvoiced."""
+    return np.asarray(pitch_graph(jnp.asarray(y, dtype=jnp.float32),
+                                  sr, dt, cfg))
 
 
 def fix_f0_gaps(f0: jnp.ndarray, max_gap: int = 4) -> jnp.ndarray:
