@@ -179,21 +179,36 @@ class GooferResampler:
     # ------------------------------------------------------------------
 
     def render(self):
+        from goofer_tpu.utils.profiling import (
+            StageTimer,
+            device_trace,
+            profiling_enabled,
+        )
+
         p = self.params
-        env, f0i, vmask, forms, sr, ylen = acquire_features(
-            self.in_file, self.n_fft, self.hop)
+        timer = StageTimer(enabled=profiling_enabled())
+        with device_trace():
+            with timer.stage("features"):
+                env, f0i, vmask, forms, sr, ylen = acquire_features(
+                    self.in_file, self.n_fft, self.hop)
 
-        forms = formants_to_int_keys(forms)
-        if p.reverse:
-            log.info("Reversing features (R flag)")
-            env = env[:, ::-1]
-            f0i = f0i[::-1]
-            vmask = vmask[::-1]
-            forms = {k: np.asarray(forms[k])[::-1] for k in forms}
+                forms = formants_to_int_keys(forms)
+                if p.reverse:
+                    log.info("Reversing features (R flag)")
+                    env = env[:, ::-1]
+                    f0i = f0i[::-1]
+                    vmask = vmask[::-1]
+                    forms = {k: np.asarray(forms[k])[::-1] for k in forms}
 
-        out = self.resample(env, f0i, vmask, forms, sr, ylen)
-        log.info("Writing %s", self.out_file)
-        write_wav(self.out_file, np.asarray(out), sr)
+            with timer.stage("resample"):
+                out = self.resample(env, f0i, vmask, forms, sr, ylen)
+                out = np.asarray(out)
+
+            with timer.stage("write"):
+                log.info("Writing %s", self.out_file)
+                write_wav(self.out_file, out, sr)
+        if timer.enabled:
+            timer.report(audio_seconds=len(out) / sr)
 
     # ------------------------------------------------------------------
 
@@ -307,10 +322,22 @@ class GooferResampler:
                 mask_new = apply_frame_plan(mask_new, splan, axis=-1)
 
         # --- formant strength bells -----------------------------------
+        # Reference quirk preserved: tracks are first cut/padded to the
+        # PRE-velocity frame count (canon_formants uses the stale
+        # target_frames, ref: SillySampler.py:756,792), then sanitized to
+        # the post-velocity count with edge padding.
         t_env = int(env_new.shape[1])
+
+        def _canon_len(x, t):
+            x = np.asarray(x, dtype=np.float32)
+            if len(x) < t:
+                return np.pad(x, (0, t - len(x)), mode="edge")
+            return x[:t]
+
         tracks = np.stack([
-            sanitize_formant_track(formants_new[k + 1], t_env, sr,
-                                   SANITIZE_MIN_HZ[k], sigma_frames=4)
+            sanitize_formant_track(
+                _canon_len(formants_new[k + 1], target_frames), t_env, sr,
+                SANITIZE_MIN_HZ[k], sigma_frames=4)
             for k in range(4)])
         if any(abs(s) > 1e-6 for s in p.formant_strengths):
             gain = formant_strength_gain((env_new.shape[0], t_env),
