@@ -1,92 +1,88 @@
 """Headline benchmark: realtime factor rendering a 60 s multi-note phrase
-on one TPU chip.
+on one TPU chip, through the FULL production pipeline.
 
-The phrase is 87 notes in three length buckets (0.5 / 0.75 / 1.0 s at
-44.1 kHz, totalling 60 s of audio); each bucket renders as ONE vmapped
-engine dispatch (the BASELINE.json north star: a whole phrase of notes in
-a single jit-traced graph per bucket).  Warmup compiles are excluded; the
-steady-state wall clock over the full phrase is timed.
+The phrase is 90 notes (two length buckets, 0.5 s / 0.75 s at 44.1 kHz,
+~60 s of audio) rendered by the phrase renderer: per-note host planning
+(cuts, loops, pitch curves) plus ONE vmapped dispatch of the fused render
+graph per bucket — feature assembly, synthesis and post-fx included.
+Feature extraction of the source sample is cached (.goofy), matching the
+extract-once workflow of the reference.
 
-Prints one JSON line: value = rendered-audio-seconds per wall-clock
-second; vs_baseline is relative to the 100x-realtime target from
-BASELINE.md (the reference publishes no numbers of its own).
+Warmup (compile) is excluded; steady-state wall clock over the whole
+phrase is timed, host planning included.
+
+Prints one JSON line; vs_baseline is relative to the 100x-realtime target
+recorded in BASELINE.md (the reference publishes no numbers of its own).
 """
 from __future__ import annotations
 
 import json
+import os
+import tempfile
 import time
 
 import numpy as np
 
 
-def _note_features(n, f0_hz, n_fft, hop, n_bins, sr):
-    t_frames = 1 + n // hop
-    rng = np.random.default_rng(int(f0_hz))
-    env = (np.exp(-np.linspace(0, 5.5, n_bins))[:, None]
-           * (1.0 + 0.3 * np.sin(np.linspace(0, 11, n_bins)))[:, None]
-           * (1.0 + 0.2 * np.sin(np.linspace(0, 6, t_frames)))[None, :]
-           + 1e-5).astype(np.float32)
+def _setup_cache():
+    try:
+        import jax
+
+        cache_dir = os.path.expanduser("~/.cache/goofer_tpu/xla")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
+def _make_voicebank_sample(path, sr=44100, dur=0.6):
+    from goofer_tpu.utils.audio_io import write_wav
+
+    n = int(dur * sr)
     t = np.arange(n) / sr
-    vib = 1.0 + 0.01 * np.sin(2 * np.pi * 5.5 * t)
-    f0 = (f0_hz * vib).astype(np.float32)
-    head = max(1, n // 12)
-    f0[:head] = 0.0
-    mask = (f0 > 75).astype(np.float32)
-    tracks = np.stack([
-        np.full(t_frames, 650.0), np.full(t_frames, 1200.0),
-        np.full(t_frames, 2500.0), np.full(t_frames, 3600.0),
-    ]).astype(np.float32)
-    return env, f0, mask, tracks
+    f0 = 220.0 * (1.0 + 0.01 * np.sin(2 * np.pi * 5.0 * t))
+    phase = np.cumsum(f0 / sr)
+    y = 0.35 * (2 * (phase % 1.0) - 1.0)
+    y = np.convolve(y, np.ones(8) / 8.0, mode="same")
+    rng = np.random.default_rng(0)
+    y[: n // 10] = 0.05 * rng.standard_normal(n // 10)
+    write_wav(path, y.astype(np.float32), sr)
 
 
 def main():
-    import jax
+    _setup_cache()
 
-    from goofer_tpu.engine.synth import SynthStatic
-    from goofer_tpu.parallel.batch import pad_note_batch, render_batch
+    from goofer_tpu.sampler.phrase import NoteSpec, render_phrase
 
-    sr, n_fft, hop = 44100, 1024, 256
+    sr = 44100
+    tmp = tempfile.mkdtemp(prefix="goofer_bench_")
+    src = os.path.join(tmp, "a.wav")
+    _make_voicebank_sample(src, sr)
 
-    buckets = [(0.50, 40), (0.75, 27), (1.00, 20)]  # 59.85 s total
-    total_audio_sec = sum(d * b for d, b in buckets)
+    scale = ["C4", "D4", "E4", "F4", "G4", "A4", "B4", "C5", "A3", "G3"]
+    notes = []
+    for i in range(50):                       # 50 x 0.5 s
+        notes.append(NoteSpec(src, scale[i % len(scale)], length=500,
+                              consonant=60, flags=f"t{(i % 7 - 3) * 10}"))
+    for i in range(47):                       # 47 x 0.75 s
+        notes.append(NoteSpec(src, scale[(i * 3) % len(scale)], length=750,
+                              consonant=60, flags=f"B{(i % 5 - 2) * 10}"))
+    total_audio_sec = sum(
+        (n.consonant + n.length) / 1000.0 for n in notes)  # ~60.0 s
 
-    batches = []
-    for dur, count in buckets:
-        n = int(dur * sr)
-        notes = [
-            _note_features(n, 160.0 * 2 ** ((i % 13) / 12.0), n_fft, hop,
-                           n_fft // 2 + 1, sr)
-            for i in range(count)
-        ]
-        batch = pad_note_batch([x[0] for x in notes],
-                               [x[1] for x in notes],
-                               [x[2] for x in notes],
-                               [x[3] for x in notes])
-        st = SynthStatic(sr=sr, n_fft=n_fft, hop=hop, n=n)
-        batches.append((st, batch))
-
-    key = jax.random.PRNGKey(0)
-
-    def render_phrase():
-        outs = []
-        for st, batch in batches:
-            mix, _, _, _ = render_batch(st, batch, key=key)
-            outs.append(mix)
-        for o in outs:
-            jax.block_until_ready(o)
-        return outs
-
-    render_phrase()  # warmup/compile
+    render_phrase(notes)  # warmup: feature extraction + compiles
 
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        render_phrase()
+        outs = render_phrase(notes)
     elapsed = (time.perf_counter() - t0) / reps
+    assert all(np.all(np.isfinite(o)) for o in outs)
 
     rtf = total_audio_sec / elapsed
     print(json.dumps({
-        "metric": "realtime_factor_60s_phrase",
+        "metric": "realtime_factor_60s_phrase_full_pipeline",
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 100.0, 3),

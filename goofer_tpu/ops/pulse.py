@@ -31,15 +31,31 @@ import numpy as np
 from goofer_tpu import config
 
 
+def _ffill_combine(left, right):
+    """last-valid-wins combiner for forward-fill associative scans."""
+    lv, lok = left
+    rv, rok = right
+    return jnp.where(rok, rv, lv), lok | rok
+
+
 def forward_fill(values: jnp.ndarray, valid: jnp.ndarray,
                  init: float) -> jnp.ndarray:
-    """values[i] from the most recent valid index <= i, else ``init``."""
-    n = values.shape[0]
-    idx = jnp.where(valid, jnp.arange(n, dtype=jnp.int32),
-                    jnp.int32(-1))
-    ff = jax.lax.cummax(idx, axis=0)
-    filled = jnp.take(values, jnp.maximum(ff, 0))
-    return jnp.where(ff >= 0, filled, jnp.asarray(init, values.dtype))
+    """values[i] from the most recent valid index <= i, else ``init``.
+
+    Implemented as an associative scan over (value, valid) pairs — TPU
+    gathers are slow, log-depth scans run at memory bandwidth."""
+    vals = values.astype(jnp.float32)
+    filled, ok = jax.lax.associative_scan(_ffill_combine, (vals, valid))
+    return jnp.where(ok, filled, jnp.asarray(init, vals.dtype))
+
+
+def _ffill_rows(vals: jnp.ndarray, valid: jnp.ndarray):
+    """Row-wise forward fill: vals (N, C), valid (N,).  Returns filled rows
+    and per-row validity (whether any valid row <= n exists)."""
+    ok = valid[:, None]
+    filled, ok_out = jax.lax.associative_scan(
+        _ffill_combine, (vals, jnp.broadcast_to(ok, vals.shape)))
+    return filled, ok_out[:, 0]
 
 
 def lf_pulse_value(u: jnp.ndarray, T: jnp.ndarray, Ra: float, Rg: float,
@@ -86,37 +102,44 @@ def _accumulate_pulses(n_samples: int, onset: jnp.ndarray,
                        max_overlap: int) -> jnp.ndarray:
     """Sum LF pulses started at onset samples, K-bounded overlap.
 
-    ``T0_track``/``T_track`` give, per sample, the period (samples / seconds)
-    a pulse would use if it started there; they are only read at onsets.
+    ``T0_track``/``T_track`` give, per sample, the period (samples /
+    seconds) a pulse would use if it started there; they are only read at
+    onsets.
+
+    Gather-free formulation: let A_0[n] be the (position, period, norm)
+    row of the most recent onset <= n (a forward-fill scan), and A_k the
+    row of the onset k generations back — obtained by, at each onset,
+    picking up A_{k-1} from the previous sample and forward-filling again.
+    Each level is one shift + one associative scan over (N, 4) rows, which
+    runs at memory bandwidth; per-sample table gathers (the naive lowering
+    of "look up generation g-k") are ~100x slower on TPU.
     """
     n = n_samples
-    gen = jnp.cumsum(onset.astype(jnp.int32))  # 1-based generation at onsets
-    dump = jnp.int32(n + 1)
-    scatter_idx = jnp.where(onset, gen, dump)
+    pos_track = jnp.arange(n, dtype=jnp.float32)
+    T0f = T0_track.astype(jnp.float32)
+    Tf = T_track.astype(jnp.float32)
+    norm_track = _grid_peak(T0f, Tf, Ra, Rg, Rk, guard)
+    rows = jnp.stack([pos_track, T0f, Tf, norm_track], axis=1)  # (N, 4)
 
-    def scatter(vals, fill):
-        table = jnp.full((n + 2,), fill, dtype=vals.dtype)
-        return table.at[scatter_idx].set(vals)
-
-    pos_table = scatter(jnp.arange(n, dtype=jnp.int32), jnp.int32(0))
-    T0_table = scatter(T0_track.astype(jnp.float32), jnp.float32(1.0))
-    T_table = scatter(T_track.astype(jnp.float32), jnp.float32(1.0))
-    norm_table = _grid_peak(T0_table, T_table, Ra, Rg, Rk, guard)
-
-    sample_idx = jnp.arange(n, dtype=jnp.int32)
+    sample_idx = pos_track
     out = jnp.zeros((n,), dtype=jnp.float32)
+
+    filled, ok = _ffill_rows(rows, onset)
     for k in range(max_overlap):
-        g = gen - k
-        live = g >= 1
-        g_safe = jnp.clip(g, 0, n + 1)
-        i_on = jnp.take(pos_table, g_safe)
-        T0_g = jnp.take(T0_table, g_safe)
-        T_g = jnp.take(T_table, g_safe)
-        nrm = jnp.take(norm_table, g_safe)
-        offs = (sample_idx - i_on).astype(jnp.float32)
+        i_on = filled[:, 0]
+        T0_g = filled[:, 1]
+        T_g = filled[:, 2]
+        nrm = filled[:, 3]
+        offs = sample_idx - i_on
         u = offs / T0_g
         val = lf_pulse_value(u, T_g, Ra, Rg, Rk, guard) / nrm
-        out = out + jnp.where(live & (offs >= 0) & (offs < T0_g), val, 0.0)
+        out = out + jnp.where(ok & (offs >= 0) & (offs < T0_g), val, 0.0)
+        if k + 1 < max_overlap:
+            # rows of the onset one generation further back: at each onset
+            # sample, adopt the previous sample's current-level row
+            prev = jnp.concatenate([filled[:1], filled[:-1]], axis=0)
+            prev_ok = jnp.concatenate([jnp.zeros((1,), bool), ok[:-1]])
+            filled, ok = _ffill_rows(prev, onset & prev_ok)
     return out
 
 

@@ -11,9 +11,13 @@ math stays on the TPU.
 
 A frame plan is (pos0, pos1, w): out[.., t] = lerp-gather(src, pos0[t]) *
 (1 - w[t]) + lerp-gather(src, pos1[t]) * w[t], positions fractional.
+Plan constructors are memoized: notes of a phrase overwhelmingly share
+cut/loop/velocity geometry, so repeated notes reuse one plan object (which
+also lets the phrase batcher dedupe the arrays by identity).
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import numpy as np
@@ -157,6 +161,7 @@ def _concat_loop_sections(tail: int, desired: int):
             np.concatenate(w_parts))
 
 
+@functools.lru_cache(maxsize=4096)
 def plan_env_loop(pre: int, tail: int, desired: int, mode: str) -> FramePlan:
     """Plan for the looped envelope: positions index the cut env columns
     (0..pre-1 prefix, pre..pre+tail-1 tail)."""
@@ -202,6 +207,7 @@ def plan_env_loop(pre: int, tail: int, desired: int, mode: str) -> FramePlan:
                      w.astype(np.float32))
 
 
+@functools.lru_cache(maxsize=4096)
 def plan_track_loop(pre: int, tail: int, desired: int, mode: str) -> FramePlan:
     """Formant-track loop plan (no crossfade in concat mode,
     ref: SillySampler.py:717-744)."""
@@ -236,6 +242,7 @@ def plan_track_loop(pre: int, tail: int, desired: int, mode: str) -> FramePlan:
                      np.zeros(len(p0), dtype=np.float32))
 
 
+@functools.lru_cache(maxsize=4096)
 def plan_sample_loop(pre: int, tail: int, desired: int) -> FramePlan:
     """f0/mask loop: always plain tiling (ref: SillySampler.py:698-712)."""
     pre_idx = np.arange(pre, dtype=np.float64)
@@ -256,6 +263,7 @@ def plan_sample_loop(pre: int, tail: int, desired: int) -> FramePlan:
 # Velocity prefix warp (ref: SillySampler.py:176-209, 766-788)
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=4096)
 def plan_prefix_stretch(n: int, pre_len: int, factor: float):
     """Fractional source positions for the consonant-velocity time warp, or
     None when the reference would leave the data untouched."""

@@ -1,0 +1,369 @@
+"""The fused note-render graph.
+
+Everything between "features are cut" and "final waveform" — envelope
+effects, loop/velocity plan materialization, formant strength bells, the
+pitch curve, pitch-driven dynamics, vocal fry, the main synthesis plus the
+su/sj/sa layers, fry highpass blending, dryness, tension and the V/B/U
+mix — traces into ONE jitted XLA program (the BASELINE.json north star:
+"all flags compiled into one jit-traced render graph").
+
+Parameter split follows the engine's convention:
+
+* ``RenderStatic`` — hashable: shapes (cut/loop/velocity plan lengths are
+  part of the array shapes), branch toggles, and the few values that pick
+  kernel sizes or loop structure (env-shape amount, tension order/sign).
+* ``scalars`` — traced f32 leaves (mix levels, shift ratios, strengths…):
+  changing them re-uses the compiled graph, and vmapping over them batches
+  whole notes.
+
+One dispatch per note; ``jax.vmap`` over the array/scalar arguments gives
+the phrase renderer its bucket batching.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from goofer_tpu import config
+from goofer_tpu.engine.synth import SynthStatic, default_knobs, synth_core_impl
+from goofer_tpu.ops.envelope import (
+    env_shape,
+    formant_width_warp,
+    fry_env_shift,
+    gather_lerp_columns,
+)
+from goofer_tpu.ops.filters import gaussian_blur1d
+from goofer_tpu.ops.interp import gather_lerp
+from goofer_tpu.ops.jitter import volume_jitter
+from goofer_tpu.ops.scan_iir import dynamic_butter_filter
+
+
+@dataclass(frozen=True)
+class RenderStatic:
+    """Compile-time configuration of the fused note render."""
+    sr: int
+    n_fft: int
+    hop: int
+    n: int                       # output samples (post-velocity)
+    t_env: int                   # envelope frames (post-velocity)
+    # envelope effects (pre-loop)
+    tilt_on: bool = False
+    shape_amt: float = 0.0       # es value; picks blur kernel sizes
+    fw_on: bool = False
+    # feature assembly
+    vel_on: bool = False
+    strengths_on: bool = False
+    # pitch / dynamics / fry
+    pd_on: bool = False
+    fry_on: bool = False
+    # main synth toggles
+    f0_jitter: bool = False
+    volume_jitter: bool = False
+    add_subharm: bool = False
+    warp_formants: bool = False
+    formant_shift_on: bool = False
+    # layers / post-fx
+    su_on: bool = False
+    sj_on: bool = False
+    sd_on: bool = False
+    tension_sign: int = 0        # -1 / 0 / +1
+    tension_order: int = 4       # LP order for tension < 0 (host-derived)
+    sa_on: bool = False
+    # pulse-overlap bounds, host-derived from the note's possible f0 range
+    # (K ~= ceil(0.804 * f0_max / f0_min) + 2): the pulse kernel sums the
+    # last K pulse generations per sample, so K follows pitch range
+    # instead of paying the worst case everywhere
+    max_overlap: int = config.PULSE_MAX_OVERLAP
+    growl_max_overlap: int = config.PULSE_MAX_OVERLAP
+
+
+def default_scalars() -> dict:
+    return {
+        "brightness_env": 1.0,
+        "fw_amount": 0.0,
+        "formant_shift": 1.0,
+        "formant_band_shifts": np.ones(4, dtype=np.float32),
+        "formant_strengths": np.zeros(4, dtype=np.float32),
+        "f0_jitter_strength": 0.0,
+        "volume_jitter_strength": 0.0,
+        "subharm_weight": 0.0,
+        "normalize": 1.0,
+        "pitch_dyn": 0.0,
+        "pd_baseline": 0.0,
+        "fry_vh": 50.0,
+        "subharm_gain": 0.0,
+        "growl_mix": 0.0,
+        "sd_strength": 0.0,
+        "tension": 0.0,
+        "harmonic_mix": 1.0,
+        "breathiness_mix": 1.0,
+        "unvoiced_mix": 1.0,
+        "volume": 1.0,
+        "aperiodic_mix": 0.0,
+    }
+
+
+FORMANT_BELL_SIGMAS = (100.0, 200.0, 350.0, 500.0)
+
+
+def _strength_gain(n_bins, tracks, strengths, sr):
+    """Traced-strength variant of the formant bells
+    (ref: SillySampler.py:791-833); zero strength is exactly unity gain."""
+    freqs = jnp.linspace(0.0, sr / 2.0, n_bins, dtype=jnp.float32)
+    gain = jnp.ones((n_bins, tracks.shape[1]), dtype=jnp.float32)
+    for k in range(4):
+        fk = tracks[k]
+        ok = jnp.isfinite(fk) & (fk > 50.0) & (fk < sr * 0.5)
+        w = jnp.exp(-0.5 * ((freqs[:, None] - fk[None, :])
+                            / FORMANT_BELL_SIGMAS[k]) ** 2)
+        gain = gain * (1.0 + strengths[k] * w * ok[None, :])
+    return gain
+
+
+def _tilt(env, brightness_env, sr):
+    """Traced-alpha brightness tilt (ref: SillySampler.py:503-515)."""
+    n_bins = env.shape[0]
+    freqs = np.linspace(1e-6, sr * 0.5, n_bins, dtype=np.float32)
+    norm_f = jnp.asarray(np.clip(freqs / (sr * 0.5), 0.02, 1.0))
+    alpha = jnp.clip(brightness_env - 1.0, -0.9, 1.0)
+    tilt = norm_f ** alpha
+    tilt = tilt / (jnp.mean(tilt) + 1e-12)
+    return env * tilt[:, None]
+
+
+def _fw_warp(env, amount):
+    """Traced-amount formant width warp (ref: SillySampler.py:554-574)."""
+    n_bins = env.shape[0]
+    bins = jnp.arange(n_bins, dtype=jnp.float32)
+    center = n_bins / 2.0
+    pos = jnp.clip((bins - center) * (1.0 + amount) + center,
+                   0.0, n_bins - 1.0)
+    return gather_lerp_columns(env, jnp.broadcast_to(
+        pos[:, None], env.shape))
+
+
+def _apply_plan(src, pos0, pos1, w, axis=-1):
+    a = gather_lerp(src, pos0, axis=axis)
+    b = gather_lerp(src, pos1, axis=axis)
+    if src.ndim == 2 and axis in (1, -1):
+        w = w[None, :]
+    return a * (1.0 - w) + b * w
+
+
+def render_note_core(rs: RenderStatic,
+                     env_cut, f0_cut, mask_cut,
+                     env_pos0, env_pos1, env_w,
+                     samp_pos, vel_env_pos, vel_samp_pos,
+                     tracks, midi_curve, fry_base_w, fry_frame_w, fry_mask,
+                     scalars, key):
+    """One fused note render; see module docstring.  All array args are
+    device arrays shaped per RenderStatic; returns the final waveform."""
+    sr, n_fft, hop, n = rs.sr, rs.n_fft, rs.hop, rs.n
+    sc = scalars
+    k_main, k_su, k_sj, k_sa, k_sd, k_noise = jax.random.split(key, 6)
+
+    env = env_cut.astype(jnp.float32)
+    if rs.tilt_on:
+        env = _tilt(env, sc["brightness_env"], sr)
+    if rs.shape_amt != 0.0:
+        env = env_shape(env, rs.shape_amt)
+    if rs.fw_on:
+        env = _fw_warp(env, sc["fw_amount"])
+
+    env_new = _apply_plan(env, env_pos0, env_pos1, env_w, axis=-1)
+    f0_new = gather_lerp(f0_cut.astype(jnp.float32), samp_pos, axis=0)
+    mask_new = gather_lerp(mask_cut.astype(jnp.float32), samp_pos, axis=0)
+    if rs.vel_on:
+        env_new = gather_lerp(env_new, vel_env_pos, axis=-1)
+        f0_new = gather_lerp(f0_new, vel_samp_pos, axis=0)
+        mask_new = gather_lerp(mask_new, vel_samp_pos, axis=0)
+
+    if rs.strengths_on:
+        env_new = env_new * _strength_gain(env_new.shape[0], tracks,
+                                           sc["formant_strengths"], sr)
+
+    # pitch curve (midi_curve precomputed on host, ref exact)
+    hz_curve = 440.0 * 2.0 ** ((midi_curve - 69.0) / 12.0)
+    f0_new = mask_new * hz_curve
+
+    # pd: pitch-driven dynamics (ref: SillySampler.py:857-881)
+    dyn_gain = None
+    if rs.pd_on:
+        bend_semi = midi_curve - sc["pd_baseline"]
+        sigma_samp = max(1, int(0.010 * sr))
+        bend_s = gaussian_blur1d(bend_semi, float(sigma_samp))
+        ref = jnp.percentile(jnp.abs(bend_s), 95.0) + 1e-8
+        v = jnp.clip(bend_s / ref, -1.0, 1.0)
+        signed = jnp.where(sc["pitch_dyn"] > 0, v, -v)
+        gain_db = 12.0 * jnp.abs(sc["pitch_dyn"]) * signed
+        dyn_gain = jnp.clip(10.0 ** (gain_db / 20.0), 1e-3, 1e3)
+        vmask_s = gaussian_blur1d(mask_new, float(int(0.01 * sr)))
+        dyn_gain = 1.0 + (dyn_gain - 1.0) * vmask_s
+
+    # vocal fry f0 override + envelope shift (ref: SillySampler.py:883-996)
+    if rs.fry_on:
+        fry_base = sc["fry_vh"] * (mask_new > 0).astype(jnp.float32)
+        f0_new = (1.0 - fry_base_w) * f0_new + fry_base_w * fry_base
+        env_new = fry_env_shift(env_new, fry_frame_w, 0.92)
+
+    # ---- main synthesis ----------------------------------------------
+    st_main = SynthStatic(
+        sr=sr, n_fft=n_fft, hop=hop, n=n,
+        f0_jitter=rs.f0_jitter,
+        volume_jitter=rs.volume_jitter,
+        add_subharm=rs.add_subharm,
+        subharm_semitones=(12.0,),
+        subharm_vibrato=True,
+        subharm_vibrato_delay=0.01,
+        cut_subharm_below_f0=True,
+        warp_formants=rs.warp_formants,
+        formant_shift_on=rs.formant_shift_on,
+        max_overlap=rs.max_overlap,
+    )
+    knobs = default_knobs()
+    knobs.update({
+        "formant_shift": sc["formant_shift"],
+        "formant_band_shifts": sc["formant_band_shifts"],
+        "f0_jitter_strength": sc["f0_jitter_strength"],
+        "volume_jitter_strength_harm": sc["volume_jitter_strength"],
+        "volume_jitter_strength_breath": sc["volume_jitter_strength"] * 2,
+        "subharm_weight": sc["subharm_weight"],
+        "subharm_vibrato_rate": 75.0,
+        "subharm_vibrato_depth": 3.0,
+        "normalize": sc["normalize"],
+    })
+    knobs = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in knobs.items()}
+    _, harmonic, aper_uv, aper_bre = synth_core_impl(
+        st_main, env_new, f0_new, mask_new, tracks, knobs, k_main)
+
+    st_layer = SynthStatic(
+        sr=sr, n_fft=n_fft, hop=hop, n=n,
+        warp_formants=rs.warp_formants,
+        formant_shift_on=rs.formant_shift_on,
+        max_overlap=rs.max_overlap,
+    )
+    layer_knobs = dict(knobs)
+    for k in ("f0_jitter_strength", "volume_jitter_strength_harm",
+              "volume_jitter_strength_breath", "subharm_weight"):
+        layer_knobs[k] = jnp.float32(default_knobs()[k])
+
+    # su: sub-octave layer (ref: SillySampler.py:1037-1059)
+    if rs.su_on:
+        _, harm_sub, _, _ = synth_core_impl(
+            st_layer, env_new, f0_new * 0.5, mask_new, tracks,
+            layer_knobs, k_su)
+        f0_hp = jnp.maximum(f0_new, 120.0)
+        for _ in range(2):
+            harm_sub = dynamic_butter_filter(harm_sub, f0_hp, sr, 1.0,
+                                             order=6, btype="highpass")
+        harmonic = harmonic + harm_sub * sc["subharm_gain"]
+
+    # sj: growl layer (ref: SillySampler.py:1061-1081)
+    if rs.sj_on:
+        noise = sc["growl_mix"] ** 2 * jax.random.normal(
+            k_noise, (n,), dtype=jnp.float32)
+        st_growl = SynthStatic(
+            sr=sr, n_fft=n_fft, hop=hop, n=n,
+            warp_formants=rs.warp_formants,
+            formant_shift_on=rs.formant_shift_on,
+            max_overlap=rs.growl_max_overlap,
+        )
+        _, harm_gw, _, _ = synth_core_impl(
+            st_growl, env_new, f0_new * (0.5 * 2.0 ** noise), mask_new,
+            tracks, layer_knobs, k_sj)
+        f0_hp = jnp.maximum(f0_new, 120.0)
+        for _ in range(2):
+            harm_gw = dynamic_butter_filter(harm_gw, f0_hp, sr, 1.0,
+                                            order=6, btype="highpass")
+        harmonic = (1.0 - sc["growl_mix"]) * harmonic \
+            + sc["growl_mix"] * harm_gw
+
+    # fry: highpass blend under the fry mask (ref: SillySampler.py:1083-1099)
+    if rs.fry_on:
+        ones = jnp.ones_like(f0_new)
+        harm_hp = dynamic_butter_filter(harmonic, ones, sr, 200.0,
+                                        order=6, btype="highpass")
+        bre_hp = dynamic_butter_filter(aper_bre, ones, sr, 200.0,
+                                       order=6, btype="highpass")
+        harmonic = harmonic * (1.0 - fry_mask) + harm_hp * fry_mask
+        aper_bre = aper_bre * (1.0 - fry_mask) + bre_hp * fry_mask
+
+    # sd: dryness (ref: SillySampler.py:1101-1112)
+    if rs.sd_on:
+        breath_j = volume_jitter(k_sd, n, sr, speed=150.0,
+                                 strength=sc["sd_strength"] / 200.0,
+                                 vibrato=True)
+        vmask_smooth = gaussian_blur1d(mask_new, 20.0)
+        aper_bre = aper_bre * (1.0 + (breath_j - 1.0) * vmask_smooth)
+        aper_bre = aper_bre * (1.0 + (sc["sd_strength"] / 100.0) * 10)
+
+    # st: tension (ref: SillySampler.py:1114-1140)
+    if rs.tension_sign != 0:
+        rms_before = jnp.sqrt(jnp.mean((harmonic + aper_bre) ** 2) + 1e-12)
+        abs_ten = jnp.abs(sc["tension"])
+        if rs.tension_sign < 0:
+            harmonic = dynamic_butter_filter(
+                harmonic, f0_new, sr, 2.0 - abs_ten * 0.75,
+                order=rs.tension_order, btype="lowpass")
+            aper_bre = dynamic_butter_filter(
+                aper_bre, f0_new, sr, abs_ten, order=4, btype="highpass")
+        else:
+            highpassed = dynamic_butter_filter(
+                harmonic, f0_new, sr, abs_ten * 4, order=4,
+                btype="highpass")
+            harmonic = harmonic + highpassed * (1.0 + abs_ten * 20.0)
+            aper_bre = dynamic_butter_filter(
+                aper_bre, f0_new, sr, (2.0 - abs_ten) / 0.5, order=6,
+                btype="lowpass")
+            aper_bre = aper_bre * (1.0 - abs_ten)
+        rms_after = jnp.sqrt(jnp.mean((harmonic + aper_bre) ** 2) + 1e-12)
+        gain = jnp.where(rms_after > 0, rms_before / rms_after, 1.0)
+        harmonic = harmonic * gain
+        aper_bre = aper_bre * gain
+
+    out = (harmonic * sc["harmonic_mix"] + aper_bre * sc["breathiness_mix"]
+           + aper_uv * sc["unvoiced_mix"]) * sc["volume"]
+
+    # sa: uncorrelated aperiodic blend (ref: SillySampler.py:1153-1172)
+    if rs.sa_on:
+        st_ap = SynthStatic(
+            sr=sr, n_fft=n_fft, hop=hop, n=n,
+            warp_formants=rs.warp_formants,
+            formant_shift_on=rs.formant_shift_on,
+            noise_transition_smoothness=1.0,
+            max_overlap=rs.max_overlap,
+        )
+        ap_knobs = dict(layer_knobs)
+        ap_knobs["uv_strength"] = jnp.float32(1.0)
+        ap_knobs["breath_strength"] = jnp.float32(1.0)
+        _, _, uv_u, bre_u = synth_core_impl(
+            st_ap, env_new, f0_new, jnp.ones_like(mask_new), tracks,
+            ap_knobs, k_sa)
+        mix = sc["aperiodic_mix"]
+        out = out * (1.0 - mix) + (uv_u + bre_u) * sc["volume"] * mix
+
+    if rs.pd_on:
+        out = out * dyn_gain
+
+    return out
+
+
+_render_note_jit = partial(jax.jit, static_argnums=(0,))(render_note_core)
+
+
+def render_note(rs: RenderStatic, arrays: dict, scalars: dict, key):
+    """Jitted single-note dispatch.  ``arrays`` carries the device inputs
+    keyed like render_note_core's signature."""
+    full = default_scalars()
+    full.update(scalars)
+    sc = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in full.items()}
+    return _render_note_jit(
+        rs, arrays["env_cut"], arrays["f0_cut"], arrays["mask_cut"],
+        arrays["env_pos0"], arrays["env_pos1"], arrays["env_w"],
+        arrays["samp_pos"], arrays["vel_env_pos"], arrays["vel_samp_pos"],
+        arrays["tracks"], arrays["midi_curve"], arrays["fry_base_w"],
+        arrays["fry_frame_w"], arrays["fry_mask"], sc, key)

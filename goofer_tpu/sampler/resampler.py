@@ -1,11 +1,11 @@
 """Note renderer: the full UTAU resample pipeline.
 
 Equivalent of ``GooferResampler.render``/``resample``
-(ref: SillySampler.py:415-1185).  The host computes index plans and scalar
-parameters; all array math runs on device.  Up to four synthesis layers are
-dispatched per note (main, ``su`` sub-octave, ``sj`` growl, ``sa``
-aperiodic), then post-filters, fry blending, tension and mixing follow on
-device, and the result is written as WAV.
+(ref: SillySampler.py:415-1185).  The host computes index plans, formant
+sanitization, the pitch curve and fry weights (all tiny NumPy work); the
+entire device side — envelope effects, loop/velocity materialization, the
+four synthesis layers and every post-filter — is ONE fused jitted graph
+(sampler/render_core.py), so a note render is a single device dispatch.
 """
 from __future__ import annotations
 
@@ -17,38 +17,51 @@ import jax.numpy as jnp
 import numpy as np
 
 from goofer_tpu import config
-from goofer_tpu.engine.synth import SynthStatic, synthesize
 from goofer_tpu.io.goofy import (
     formants_to_int_keys,
     load_features,
     save_features,
 )
-from goofer_tpu.ops.envelope import (
-    brightness_tilt,
-    decode_env_from_knots,
-    env_shape,
-    formant_strength_gain,
-    formant_width_warp,
-    fry_env_shift,
-)
-from goofer_tpu.ops.filters import gaussian_blur1d, gaussian_kernel1d
-from goofer_tpu.ops.interp import gather_lerp
-from goofer_tpu.ops.jitter import volume_jitter
-from goofer_tpu.ops.scan_iir import dynamic_butter_filter
-from goofer_tpu.sampler.flags import NoteParams, midi_to_hz
+from goofer_tpu.ops.envelope import decode_env_from_knots
+from goofer_tpu.ops.filters import gaussian_kernel1d
+from goofer_tpu.sampler.flags import NoteParams
 from goofer_tpu.sampler.plan import (
-    apply_frame_plan,
+    FramePlan,
     plan_cut,
     plan_env_loop,
     plan_prefix_stretch,
     plan_sample_loop,
     plan_track_loop,
 )
+from goofer_tpu.sampler.render_core import RenderStatic, render_note
 from goofer_tpu.utils.audio_io import read_wav_mono, write_wav
 
 log = logging.getLogger("goofer_tpu")
 
 SANITIZE_MIN_HZ = (120.0, 300.0, 1500.0, 2000.0)
+
+
+def _np_lerp_at(src: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    n = len(src)
+    pos = np.clip(np.asarray(pos, dtype=np.float64), 0.0, n - 1.0)
+    lo = np.clip(np.floor(pos).astype(np.int64), 0, max(n - 2, 0))
+    frac = pos - lo
+    hi = np.minimum(lo + 1, n - 1)
+    return src[lo] * (1.0 - frac) + src[hi] * frac
+
+
+def _np_apply_plan(src: np.ndarray, plan: FramePlan) -> np.ndarray:
+    """Host materialization of a 1-D frame plan (for tiny formant tracks)."""
+    a = _np_lerp_at(src, plan.pos0)
+    b = _np_lerp_at(src, plan.pos1)
+    return (a * (1.0 - plan.w) + b * plan.w).astype(np.float32)
+
+
+def _np_fit(x: np.ndarray, t: int) -> np.ndarray:
+    x = np.asarray(x, dtype=np.float32)
+    if len(x) < t:
+        return np.pad(x, (0, t - len(x)), mode="edge")
+    return x[:t]
 
 
 def _np_gaussian1d(x: np.ndarray, sigma: float) -> np.ndarray:
@@ -164,7 +177,8 @@ class GooferResampler:
                  offset=0, length=1000, consonant=0, cutoff=0,
                  volume=100, modulation=0, tempo="!120", pitch_string="AA",
                  editor_hook=None, n_fft=config.SAMPLER_N_FFT,
-                 hop=config.SAMPLER_HOP, seed: int = 0):
+                 hop=config.SAMPLER_HOP, seed: int = 0,
+                 autorender: bool = True):
         self.in_file = Path(in_file)
         self.out_file = Path(out_file)
         self.params = NoteParams.from_args(
@@ -174,7 +188,8 @@ class GooferResampler:
         self.n_fft = n_fft
         self.hop = hop
         self.key = jax.random.PRNGKey(seed)
-        self.render()
+        if autorender:
+            self.render()
 
     # ------------------------------------------------------------------
 
@@ -236,32 +251,56 @@ class GooferResampler:
     # ------------------------------------------------------------------
 
     def resample(self, env, f0i, vmask, forms, sr, ylen):
+        """Prepare host-side plans/arrays and run the fused render graph
+        (sampler/render_core.py) in a single device dispatch."""
+        rs, arrays, scalars = self.prepare(env, f0i, vmask, forms, sr, ylen)
+        log.info("Synthesizing")
+        return render_note(rs, arrays, scalars, self.key)
+
+    # ------------------------------------------------------------------
+
+    def prepare(self, env, f0i, vmask, forms, sr, ylen, cache=None):
+        """Host planning: cut geometry, loop/velocity index plans, formant
+        sanitize, pitch curve, fry weights.  Returns (RenderStatic,
+        arrays, scalars) for render_note / the phrase batcher.
+
+        ``cache`` (optional dict, shared across the notes of a phrase)
+        memoizes cut slices, looped formant tracks and pitch curves so
+        repeated notes contribute identical array OBJECTS — the phrase
+        batcher then passes them unbatched (vmap in_axes=None)."""
         p = self.params
         hop = self.hop
         sample_len_sec = ylen / sr
+        memo = cache if cache is not None else {}
+
+        def cached(key, fn):
+            val = memo.get(key)
+            if val is None:
+                val = fn()
+                memo[key] = val
+            return val
 
         cut = plan_cut(sample_len_sec, sr, hop, p.offset_sec,
                        p.consonant_sec, p.cutoff_sec, p.reverse)
         log.info("Interpolating features")
 
-        env_cut = jnp.asarray(env[:, cut.start_frame:cut.end_frame])
-        f0_cut = np.asarray(f0i[cut.start_sample:cut.end_sample],
-                            dtype=np.float32)
-        mask_cut = np.asarray(vmask[cut.start_sample:cut.end_sample],
-                              dtype=np.float32)
+        env_cut = cached(
+            ("env_cut", id(env), cut.start_frame, cut.end_frame),
+            lambda: np.asarray(env[:, cut.start_frame:cut.end_frame],
+                               dtype=np.float32))
+        f0_cut = cached(
+            ("f0_cut", id(f0i), cut.start_sample, cut.end_sample),
+            lambda: np.asarray(f0i[cut.start_sample:cut.end_sample],
+                               dtype=np.float32))
+        mask_cut = cached(
+            ("mask_cut", id(vmask), cut.start_sample, cut.end_sample),
+            lambda: np.asarray(vmask[cut.start_sample:cut.end_sample],
+                               dtype=np.float32))
 
         pre_frames = cut.consonant_frame - cut.start_frame
         tail_frames = cut.end_frame - cut.consonant_frame
         pre_samples = cut.consonant_sample - cut.start_sample
         tail_samples = cut.end_sample - cut.consonant_sample
-
-        # --- frame-local envelope effects (br, es, fw) -----------------
-        if p.brightness_env != 1.0 and env_cut.size:
-            env_cut = brightness_tilt(env_cut, p.brightness_env, sr)
-        if p.env_shape != 0.0 and env_cut.size:
-            env_cut = env_shape(env_cut, p.env_shape)
-        if p.formant_width != 0.0 and env_cut.size:
-            env_cut = formant_width_warp(env_cut, p.formant_width)
 
         # --- SE editor + FV -------------------------------------------
         if p.use_editor and self.editor_hook is not None:
@@ -269,257 +308,204 @@ class GooferResampler:
         if p.force_voiced:
             mask_cut = np.ones_like(mask_cut)
 
-        # --- sustain loops --------------------------------------------
+        # --- sustain loop + velocity plans ----------------------------
         desired_tail_samples = int(p.length_sec * sr)
         desired_tail_frames = int(np.ceil(p.length_sec * sr / hop))
 
         env_plan = plan_env_loop(pre_frames, tail_frames,
                                  desired_tail_frames, p.loop_mode)
-        env_new = apply_frame_plan(env_cut, env_plan, axis=-1)
-
         samp_plan = plan_sample_loop(pre_samples, tail_samples,
                                      desired_tail_samples)
-        f0_new = apply_frame_plan(jnp.asarray(f0_cut), samp_plan, axis=-1)
-        mask_new = apply_frame_plan(jnp.asarray(mask_cut), samp_plan,
-                                    axis=-1)
-
         target_frames = len(env_plan)
-        track_plan = plan_track_loop(pre_frames, tail_frames,
-                                     desired_tail_frames, p.loop_mode)
-        formants_new = {}
-        for k in (1, 2, 3, 4):
-            track = np.asarray(forms.get(k, np.zeros(1)), dtype=np.float32)
-            track = track[cut.start_frame:cut.end_frame]
-            if track.size == 0:
-                track = np.zeros(1, dtype=np.float32)
-            looped = np.asarray(apply_frame_plan(jnp.asarray(track),
-                                                 track_plan, axis=-1))
-            if len(looped) < target_frames:
-                looped = np.pad(looped, (0, target_frames - len(looped)),
-                                mode="edge")
-            else:
-                looped = looped[:target_frames]
-            formants_new[k] = looped
+        n_loop = len(samp_plan)
 
-        # --- consonant velocity ---------------------------------------
         vel = p.velocity_factor
+        fplan = splan = None
         if abs(vel - 1.0) > 1e-6 and pre_frames > 1 and pre_samples > 1:
             fplan = plan_prefix_stretch(target_frames, pre_frames, vel)
-            if fplan is not None:
-                env_new = apply_frame_plan(env_new, fplan, axis=-1)
-                new_target = len(fplan)
-                for k in formants_new:
-                    warped = np.asarray(apply_frame_plan(
-                        jnp.asarray(formants_new[k]), fplan, axis=-1))
-                    if len(warped) < new_target:
-                        warped = np.pad(warped, (0, new_target - len(warped)),
-                                        mode="edge")
-                    formants_new[k] = warped[:new_target]
-            splan = plan_prefix_stretch(
-                int(f0_new.shape[0]), pre_samples, vel)
-            if splan is not None:
-                f0_new = apply_frame_plan(f0_new, splan, axis=-1)
-                mask_new = apply_frame_plan(mask_new, splan, axis=-1)
+            splan = plan_prefix_stretch(n_loop, pre_samples, vel)
+        vel_on = fplan is not None or splan is not None
+        t_env = len(fplan) if fplan is not None else target_frames
+        n_total = len(splan) if splan is not None else n_loop
 
-        # --- formant strength bells -----------------------------------
-        # Reference quirk preserved: tracks are first cut/padded to the
-        # PRE-velocity frame count (canon_formants uses the stale
-        # target_frames, ref: SillySampler.py:756,792), then sanitized to
-        # the post-velocity count with edge padding.
-        t_env = int(env_new.shape[1])
+        # --- formant tracks: loop -> velocity -> canon -> sanitize ----
+        track_plan = plan_track_loop(pre_frames, tail_frames,
+                                     desired_tail_frames, p.loop_mode)
 
-        def _canon_len(x, t):
-            x = np.asarray(x, dtype=np.float32)
-            if len(x) < t:
-                return np.pad(x, (0, t - len(x)), mode="edge")
-            return x[:t]
+        def build_tracks():
+            rows = []
+            for k in (1, 2, 3, 4):
+                track = np.asarray(forms.get(k, np.zeros(1)),
+                                   dtype=np.float32)
+                track = track[cut.start_frame:cut.end_frame]
+                if track.size == 0:
+                    track = np.zeros(1, dtype=np.float32)
+                looped = _np_apply_plan(track, track_plan)
+                looped = _np_fit(looped, target_frames)
+                if fplan is not None:
+                    looped = _np_fit(_np_apply_plan(looped, fplan), t_env)
+                # reference quirk: canon to the PRE-velocity frame count,
+                # then sanitize edge-pads back out
+                # (ref: SillySampler.py:756,792)
+                looped = _np_fit(looped, target_frames)
+                rows.append(sanitize_formant_track(
+                    looped, t_env, sr, SANITIZE_MIN_HZ[k - 1],
+                    sigma_frames=4))
+            return np.stack(rows)
 
-        tracks = np.stack([
-            sanitize_formant_track(
-                _canon_len(formants_new[k + 1], target_frames), t_env, sr,
-                SANITIZE_MIN_HZ[k], sigma_frames=4)
-            for k in range(4)])
-        if any(abs(s) > 1e-6 for s in p.formant_strengths):
-            gain = formant_strength_gain((env_new.shape[0], t_env),
-                                         jnp.asarray(tracks),
-                                         p.formant_strengths, sr)
-            env_new = env_new * gain
+        tracks = cached(
+            ("tracks", id(forms), cut.start_frame, cut.end_frame,
+             p.loop_mode, desired_tail_frames, target_frames, t_env, vel),
+            build_tracks)
 
-        # --- pitch curve ----------------------------------------------
-        n_total = int(f0_new.shape[0])
-        bend = p.bend_cents.astype(np.float64)
-        pitch_semi = bend / 100.0 + p.pitch_midi
-        if p.t_cents:
-            pitch_semi = pitch_semi + p.t_cents / 100.0
-        tick_dt = 60.0 / (p.tempo * 96.0)
-        t_samples = np.arange(n_total) / sr
-        if len(pitch_semi) == 1:
-            midi_curve = jnp.full((n_total,), float(pitch_semi[0]),
-                                  dtype=jnp.float32)
-        else:
+        # --- pitch curve (host, exact reference semantics) -------------
+        def build_midi_curve():
+            bend = p.bend_cents.astype(np.float64)
+            pitch_semi = bend / 100.0 + p.pitch_midi
+            if p.t_cents:
+                pitch_semi = pitch_semi + p.t_cents / 100.0
+            tick_dt = 60.0 / (p.tempo * 96.0)
+            t_samples = np.arange(n_total) / sr
+            if len(pitch_semi) == 1:
+                return np.full(n_total, float(pitch_semi[0]))
             t_max = (len(pitch_semi) - 1) * tick_dt
-            pos = np.clip(t_samples, 0.0, t_max) / tick_dt
-            midi_curve = gather_lerp(
-                jnp.asarray(pitch_semi, dtype=jnp.float32),
-                jnp.asarray(pos, dtype=jnp.float32), axis=0)
-        hz_curve = 440.0 * 2.0 ** ((midi_curve - 69.0) / 12.0)
-        f0_new = mask_new * hz_curve
+            t_clamped = np.clip(t_samples, 0.0, t_max)
+            return np.interp(t_clamped / tick_dt,
+                             np.arange(len(pitch_semi)), pitch_semi)
 
-        # --- pitch-driven dynamics (pd) -------------------------------
-        dyn_gain = None
-        if p.pitch_dyn != 0.0:
-            baseline = p.pitch_midi + (p.t_cents / 100.0)
-            bend_semi = midi_curve - baseline
-            sigma_samp = max(1, int(0.010 * sr))
-            bend_s = gaussian_blur1d(bend_semi, float(sigma_samp))
-            ref = jnp.percentile(jnp.abs(bend_s), 95.0) + 1e-8
-            v = jnp.clip(bend_s / ref, -1.0, 1.0)
-            signed = v if p.pitch_dyn > 0 else -v
-            gain_db = 12.0 * abs(p.pitch_dyn) * signed
-            dyn_gain = jnp.clip(10.0 ** (gain_db / 20.0), 1e-3, 1e3)
-            vmask_s = gaussian_blur1d(mask_new, float(int(0.01 * sr)))
-            dyn_gain = 1.0 + (dyn_gain - 1.0) * vmask_s
+        midi_curve = cached(
+            ("midi", n_total, p.pitch_midi, p.t_cents, p.tempo,
+             p.bend_cents.tobytes()),
+            build_midi_curve)
 
-        # --- vocal fry ------------------------------------------------
-        fry_mask = None
+        # --- fry weights ------------------------------------------------
         vf = float(np.clip(p.fry_amount, -100.0, 100.0))
-        if vf != 0.0:
-            f0_new, fry_mask = self._apply_fry(f0_new, mask_new, n_total,
-                                               sr, vf)
-            if fry_mask is not None:
-                frame_centers = np.minimum(
-                    n_total - 1,
-                    np.arange(t_env) * hop + hop // 2).astype(np.int64)
-                fry_w_frames = jnp.asarray(fry_mask[frame_centers])
-                env_new = fry_env_shift(env_new, fry_w_frames, 0.92)
+        fry_on = vf != 0.0
 
-        # --- synthesis layers -----------------------------------------
-        log.info("Synthesizing")
-        key = self.key
-        k_main, k_su, k_sj, k_sa, k_sd, k_noise = jax.random.split(key, 6)
+        def build_fry():
+            if fry_on:
+                base_w, mask_arr = self._fry_arrays(n_total, sr, vf)
+            else:
+                base_w, mask_arr = np.zeros(1, dtype=np.float32), None
+            if mask_arr is None:
+                mask_arr = np.zeros(n_total, dtype=np.float32)
+            centers = np.minimum(
+                max(0, n_total - 1),
+                np.arange(t_env) * hop + hop // 2).astype(np.int64)
+            frame_w = mask_arr[centers].astype(np.float32)
+            if fry_on and len(base_w) != n_total:
+                base_w = _np_fit(base_w, n_total)
+            return base_w, mask_arr.astype(np.float32), frame_w
 
-        st_main = SynthStatic(
-            sr=sr, n_fft=self.n_fft, hop=hop, n=n_total,
+        fry_base_w, fry_mask_arr, fry_frame_w = cached(
+            ("fry", n_total, t_env, vf, p.fry_glide_pct, p.fry_base_hz, sr),
+            build_fry)
+
+        # --- statics + scalars ----------------------------------------
+        tension_sign = 0 if p.tension == 0 else (1 if p.tension > 0 else -1)
+        tension_order = int(np.clip(np.round(1 + abs(p.tension) * 4), 1, 6))
+
+        # pulse-overlap bound from the f0 range this note can produce:
+        # longest pulse ~ sr/f0_floor samples, onsets up to f0_ceil/sr per
+        # sample, pulses are zero past u = Ra + Rk*(1-Ra) ~= 0.804
+        hz_lo = float(440.0 * 2.0 ** ((np.min(midi_curve) - 69.0) / 12.0))
+        hz_hi = float(440.0 * 2.0 ** ((np.max(midi_curve) - 69.0) / 12.0))
+        floor_cands = [hz_lo, config.PULSE_FALLBACK_F0]
+        ceil_cands = [hz_hi, config.PULSE_FALLBACK_F0]
+        if fry_on:
+            floor_cands.append(p.fry_base_hz)
+            ceil_cands.append(p.fry_base_hz)
+        jit_lo = max(0.25, 1.0 - p.f0_jitter_strength) if p.f0_jitter else 1.0
+        jit_hi = (1.0 + p.f0_jitter_strength) if p.f0_jitter else 1.0
+        f0_floor = max(1.0, min(floor_cands) * jit_lo)
+        f0_ceil = max(ceil_cands) * jit_hi
+        # subharmonics run at 2x f0 (semitones=12): same ratio, covered.
+        ratio = f0_ceil / f0_floor
+        max_overlap = int(np.clip(np.ceil(0.804 * ratio) + 2, 3, 32))
+        # growl layer: f0 * 0.5 * 2**N(0, mix^2); bound the spread at 3
+        # sigma each way (tails only lose low-amplitude pulse ends)
+        spread = 2.0 ** (6.0 * p.growl_mix ** 2) if p.growl_mix > 0 else 1.0
+        growl_max_overlap = int(np.clip(
+            np.ceil(0.804 * ratio * spread) + 2, 3, 32))
+
+        rs = RenderStatic(
+            sr=sr, n_fft=self.n_fft, hop=hop, n=n_total, t_env=t_env,
+            tilt_on=p.brightness_env != 1.0,
+            shape_amt=float(p.env_shape),
+            fw_on=p.formant_width != 0.0,
+            vel_on=vel_on,
+            strengths_on=any(abs(s) > 1e-6 for s in p.formant_strengths),
+            pd_on=p.pitch_dyn != 0.0,
+            fry_on=fry_on,
             f0_jitter=p.f0_jitter,
             volume_jitter=p.volume_jitter,
             add_subharm=p.add_subharm,
-            subharm_semitones=(12.0,),
-            subharm_vibrato=True,
-            subharm_vibrato_delay=0.01,
-            cut_subharm_below_f0=True,
             warp_formants=any(s != 1.0 for s in p.f_shifts),
             formant_shift_on=p.formant_shift != 1.0,
+            su_on=p.subharm_gain > 0.0,
+            sj_on=p.growl_mix > 0.0,
+            sd_on=p.sd_strength > 0,
+            tension_sign=tension_sign,
+            tension_order=tension_order,
+            sa_on=p.aperiodic_mix > 0.0,
+            max_overlap=max_overlap,
+            growl_max_overlap=growl_max_overlap,
         )
-        main_knobs = {
+
+        one = cached(("zeros1",), lambda: np.zeros(1, dtype=np.float32))
+        arrays = {
+            "env_cut": env_cut,
+            "f0_cut": f0_cut if f0_cut.size else one,
+            "mask_cut": mask_cut if mask_cut.size else one,
+            "env_pos0": env_plan.pos0, "env_pos1": env_plan.pos1,
+            "env_w": env_plan.w,
+            "samp_pos": samp_plan.pos0,
+            "vel_env_pos": (fplan.pos0 if fplan is not None else one),
+            "vel_samp_pos": (splan.pos0 if splan is not None else one),
+            "tracks": tracks,
+            "midi_curve": cached(
+                ("midi32", n_total, p.pitch_midi, p.t_cents, p.tempo,
+                 p.bend_cents.tobytes()),
+                lambda: midi_curve.astype(np.float32)),
+            "fry_base_w": (fry_base_w if fry_on else one),
+            "fry_frame_w": fry_frame_w,
+            "fry_mask": fry_mask_arr,
+        }
+        scalars = {
+            "brightness_env": p.brightness_env,
+            "fw_amount": p.formant_width,
             "formant_shift": p.formant_shift,
             "formant_band_shifts": np.asarray(p.f_shifts, dtype=np.float32),
+            "formant_strengths": np.asarray(p.formant_strengths,
+                                            dtype=np.float32),
             "f0_jitter_strength": p.f0_jitter_strength,
-            "volume_jitter_strength_harm": p.volume_jitter_strength,
-            "volume_jitter_strength_breath": p.volume_jitter_strength * 2,
+            "volume_jitter_strength": p.volume_jitter_strength,
             "subharm_weight": p.subharm_weight,
-            "subharm_vibrato_rate": 75.0,
-            "subharm_vibrato_depth": 3.0,
             "normalize": p.normalize,
+            "pitch_dyn": p.pitch_dyn,
+            "pd_baseline": p.pitch_midi + (p.t_cents / 100.0),
+            "fry_vh": p.fry_base_hz,
+            "subharm_gain": p.subharm_gain,
+            "growl_mix": p.growl_mix,
+            "sd_strength": p.sd_strength,
+            "tension": p.tension,
+            "harmonic_mix": p.harmonic_mix,
+            "breathiness_mix": p.breathiness_mix,
+            "unvoiced_mix": p.unvoiced_mix,
+            "volume": p.volume,
+            "aperiodic_mix": p.aperiodic_mix,
         }
-        tracks_j = jnp.asarray(tracks)
-        _, harmonic, aper_uv, aper_bre = synthesize(
-            st_main, env_new, f0_new, mask_new, tracks_j, main_knobs,
-            key=k_main)
-
-        st_layer = SynthStatic(
-            sr=sr, n_fft=self.n_fft, hop=hop, n=n_total,
-            warp_formants=st_main.warp_formants,
-            formant_shift_on=st_main.formant_shift_on,
-        )
-        layer_knobs = {
-            "formant_shift": p.formant_shift,
-            "formant_band_shifts": np.asarray(p.f_shifts, dtype=np.float32),
-            "normalize": p.normalize,
-        }
-
-        # su: sub-octave layer, doubly highpassed at max(f0, 120)
-        if p.subharm_gain > 0.0:
-            _, harm_sub, _, _ = synthesize(
-                st_layer, env_new, f0_new * 0.5, mask_new, tracks_j,
-                layer_knobs, key=k_su)
-            f0_cut_hp = jnp.maximum(f0_new, 120.0)
-            for _ in range(2):
-                harm_sub = dynamic_butter_filter(
-                    harm_sub, f0_cut_hp, sr, 1.0, order=6, btype="highpass")
-            harmonic = harmonic + harm_sub * p.subharm_gain
-
-        # sj: growl layer at noisy half f0
-        if p.growl_mix > 0.0:
-            noise = p.growl_mix ** 2 * jax.random.normal(
-                k_noise, (n_total,), dtype=jnp.float32)
-            f0_layer = f0_new * (0.5 * 2.0 ** noise)
-            _, harm_gw, _, _ = synthesize(
-                st_layer, env_new, f0_layer, mask_new, tracks_j,
-                layer_knobs, key=k_sj)
-            f0_for_hp = jnp.maximum(f0_new, 120.0)
-            for _ in range(2):
-                harm_gw = dynamic_butter_filter(
-                    harm_gw, f0_for_hp, sr, 1.0, order=6, btype="highpass")
-            harmonic = (1.0 - p.growl_mix) * harmonic \
-                + p.growl_mix * harm_gw
-
-        # fry: highpass blend under the fry mask
-        if fry_mask is not None:
-            ones = jnp.ones_like(f0_new)
-            harm_hp = dynamic_butter_filter(harmonic, ones, sr, 200.0,
-                                            order=6, btype="highpass")
-            bre_hp = dynamic_butter_filter(aper_bre, ones, sr, 200.0,
-                                           order=6, btype="highpass")
-            fm = jnp.asarray(fry_mask)
-            harmonic = harmonic * (1.0 - fm) + harm_hp * fm
-            aper_bre = aper_bre * (1.0 - fm) + bre_hp * fm
-
-        # sd: dryness (breath-only vibrato jitter + gain)
-        if p.sd_strength > 0:
-            breath_j = volume_jitter(k_sd, n_total, sr, speed=150.0,
-                                     strength=p.sd_strength / 200.0,
-                                     vibrato=True)
-            vmask_smooth = gaussian_blur1d(mask_new, 20.0)
-            aper_bre = aper_bre * (1.0 + (breath_j - 1.0) * vmask_smooth)
-            aper_bre = aper_bre * (1.0 + (p.sd_strength / 100.0) * 10)
-
-        # st: tension filter games, RMS preserved
-        if p.tension != 0:
-            harmonic, aper_bre = self._apply_tension(
-                harmonic, aper_bre, f0_new, sr, p.tension)
-
-        # final mix
-        out = (harmonic * p.harmonic_mix + aper_bre * p.breathiness_mix
-               + aper_uv * p.unvoiced_mix) * p.volume
-
-        # sa: uncorrelated aperiodic blend
-        if p.aperiodic_mix > 0.0:
-            st_ap = SynthStatic(
-                sr=sr, n_fft=self.n_fft, hop=hop, n=n_total,
-                warp_formants=st_main.warp_formants,
-                formant_shift_on=st_main.formant_shift_on,
-                noise_transition_smoothness=1.0,
-            )
-            ap_knobs = dict(layer_knobs)
-            ap_knobs.update({"uv_strength": 1.0, "breath_strength": 1.0})
-            _, _, uv_u, bre_u = synthesize(
-                st_ap, env_new, f0_new, jnp.ones_like(mask_new), tracks_j,
-                ap_knobs, key=k_sa)
-            mix = p.aperiodic_mix
-            out = out * (1.0 - mix) + (uv_u + bre_u) * p.volume * mix
-
-        if dyn_gain is not None:
-            out = out * dyn_gain
-
-        return out
+        return rs, arrays, scalars
 
     # ------------------------------------------------------------------
 
-    def _apply_fry(self, f0_new, mask_new, n, sr, vf):
-        """Fry F0 override + glide and the faded fry region mask
-        (ref: SillySampler.py:883-965).  Returns (f0, fry_mask|None)."""
+    def _fry_arrays(self, n, sr, vf):
+        """Fry base-pitch weight per sample and the faded fry region mask
+        (ref: SillySampler.py:883-965).  base_w = weight of the fry base
+        pitch vh*(mask>0) in the blend (1 in the constant region, ramping
+        through the glide); fry_mask is None when the midpoint-sized
+        region is empty."""
         p = self.params
-        vh = p.fry_base_hz
         vl = p.fry_glide_pct
 
         base_w = np.zeros(n, dtype=np.float32)
@@ -544,11 +530,7 @@ class GooferResampler:
                 if const > 0:
                     base_w[start + glide:] = 1.0
 
-        bw = jnp.asarray(base_w)
-        fry_base = vh * (mask_new > 0).astype(jnp.float32)
-        f0_out = (1.0 - bw) * f0_new + bw * fry_base
-
-        # faded region mask (note: sized from the note midpoint,
+        # faded region mask (sized from the note midpoint,
         # ref: SillySampler.py:937-965)
         mid = n // 2
         if vf > 0:
@@ -572,30 +554,4 @@ class GooferResampler:
                     fm[b0:e_i] *= np.linspace(1.0, 0.0, e_i - b0,
                                               endpoint=True)
             fry_mask = fm
-        return f0_out, fry_mask
-
-    @staticmethod
-    def _apply_tension(harmonic, aper_bre, f0_new, sr, tension):
-        """st flag (ref: SillySampler.py:1114-1140)."""
-        from goofer_tpu.ops.scan_iir import dynamic_butter_filter as dbf
-
-        rms_before = jnp.sqrt(jnp.mean((harmonic + aper_bre) ** 2) + 1e-12)
-        abs_ten = abs(tension)
-        if tension < 0:
-            order = int(np.clip(np.round(1 + abs_ten * 4), 1, 6))
-            lp_factor = 2.0 - abs_ten * 0.75
-            harmonic = dbf(harmonic, f0_new, sr, lp_factor, order=order,
-                           btype="lowpass")
-            aper_bre = dbf(aper_bre, f0_new, sr, abs_ten, order=4,
-                           btype="highpass")
-        else:
-            highpassed = dbf(harmonic, f0_new, sr, abs_ten * 4, order=4,
-                             btype="highpass")
-            harmonic = harmonic + highpassed * (1.0 + abs_ten * 20.0)
-            lp_factor = (2.0 - abs_ten) / 0.5
-            aper_bre = dbf(aper_bre, f0_new, sr, lp_factor, order=6,
-                           btype="lowpass")
-            aper_bre = aper_bre * (1.0 - abs_ten)
-        rms_after = jnp.sqrt(jnp.mean((harmonic + aper_bre) ** 2) + 1e-12)
-        gain = jnp.where(rms_after > 0, rms_before / rms_after, 1.0)
-        return harmonic * gain, aper_bre * gain
+        return base_w, fry_mask

@@ -1,0 +1,60 @@
+"""Phrase renderer: grouped vmapped dispatch over full note renders."""
+import numpy as np
+import pytest
+
+from goofer_tpu.sampler.phrase import NoteSpec, plan_phrase, render_phrase
+from tests.test_resampler import SR, _dominant_period, _make_sample
+
+
+@pytest.fixture(scope="module")
+def vb(tmp_path_factory):
+    d = tmp_path_factory.mktemp("phrase_vb")
+    _make_sample(d / "a.wav")
+    return d
+
+
+def test_phrase_groups_equal_shapes(vb):
+    notes = [
+        NoteSpec(str(vb / "a.wav"), "C4", length=300),
+        NoteSpec(str(vb / "a.wav"), "E4", length=300),
+        NoteSpec(str(vb / "a.wav"), "G4", length=300),
+        NoteSpec(str(vb / "a.wav"), "C5", length=500),
+    ]
+    planned, _ = plan_phrase(notes)
+    keys = {(pl.rs, tuple(np.asarray(pl.arrays["f0_cut"]).shape
+                          for _ in [0])) for pl in planned}
+    # first three notes share a RenderStatic; the fourth differs by length
+    lengths = {pl.rs.n for pl in planned}
+    assert len(lengths) == 2
+
+
+def test_phrase_renders_correct_pitches(vb):
+    notes = [
+        NoteSpec(str(vb / "a.wav"), "C4", length=300),
+        NoteSpec(str(vb / "a.wav"), "E4", length=300),
+        NoteSpec(str(vb / "a.wav"), "G4", length=300),
+    ]
+    outs = render_phrase(notes)
+    assert len(outs) == 3
+    want = [261.63, 329.63, 392.0]
+    for y, f_want in zip(outs, want):
+        assert np.all(np.isfinite(y))
+        seg = y[len(y) // 3: 2 * len(y) // 3]
+        f_est = SR / _dominant_period(seg, SR)
+        assert abs(f_est - f_want) / f_want < 0.03, (f_est, f_want)
+
+
+def test_phrase_mixed_flags_still_batch(vb):
+    # same flags-actives (none) but different scalar values -> one graph
+    notes = [
+        NoteSpec(str(vb / "a.wav"), "C4", length=300, flags="t50", volume=80),
+        NoteSpec(str(vb / "a.wav"), "D4", length=300, flags="t-50",
+                 volume=120),
+    ]
+    planned, _ = plan_phrase(notes)
+    assert planned[0].rs == planned[1].rs
+    outs = render_phrase(notes)
+    f1 = SR / _dominant_period(outs[0][len(outs[0]) // 2:], SR)
+    f2 = SR / _dominant_period(outs[1][len(outs[1]) // 2:], SR)
+    assert abs(f1 - 261.63 * 2 ** (0.5 / 12)) / f1 < 0.03
+    assert abs(f2 - 293.66 * 2 ** (-0.5 / 12)) / f2 < 0.03
