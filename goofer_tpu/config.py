@@ -62,3 +62,15 @@ VERSION = "0.1.0"
 # Version string of the reference CLI surface we reproduce
 # (ref: SillySampler.py:1226).
 REFERENCE_CLI_VERSION = "v2.6.1"
+
+
+PULSE_OVERLAP_BUCKETS = (4, 8, 16, 32)
+
+
+def bucket_overlap(k: int) -> int:
+    """Round a pulse-overlap bound up to a bucket so nearby notes share
+    compiled graphs (K is a static shape-like parameter)."""
+    for b in PULSE_OVERLAP_BUCKETS:
+        if k <= b:
+            return b
+    return PULSE_OVERLAP_BUCKETS[-1]

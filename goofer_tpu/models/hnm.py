@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from goofer_tpu import config as config_mod
+
 from goofer_tpu.engine.synth import SynthStatic, synthesize as _synth
 from goofer_tpu.io.goofy import formants_to_int_keys, pad_trim_to_len
 from goofer_tpu.ops.envelope import decode_env_from_knots
@@ -96,6 +98,21 @@ def synthesize(env_spec, f0_interp, voicing_mask, y, sr,
 
     if not isinstance(subharm_semitones, (list, tuple, np.ndarray)):
         subharm_semitones = (float(subharm_semitones),)
+
+    # pulse-overlap bound from the actual f0 data (pulses are zero past
+    # u ~= Ra + Rk*(1-Ra) = 0.804 of their period)
+    f0_host = np.asarray(f0_interp, dtype=np.float64) * float(pitch_shift)
+    pos = f0_host[f0_host > 1e-6]
+    if pos.size:
+        jit_hi = 1.0 + (f0_jitter_strength if f0_jitter else 0.0)
+        jit_lo = max(0.25, 1.0 - (f0_jitter_strength if f0_jitter else 0.0))
+        ratio = (max(pos.max() * jit_hi, 160.0)
+                 / max(1.0, min(pos.min() * jit_lo, 160.0)))
+    else:
+        ratio = 1.0
+    max_overlap = config_mod.bucket_overlap(
+        int(np.clip(np.ceil(0.804 * ratio) + 2, 3, 32)))
+
     st = SynthStatic(
         sr=int(sr), n_fft=n_fft, hop=hop_length, n=out_len,
         f0_jitter=bool(f0_jitter),
@@ -122,6 +139,7 @@ def synthesize(env_spec, f0_interp, voicing_mask, y, sr,
         rough_noise_amp=float(rough_noise_amp),
         rough_noise_smooth_ms=float(rough_noise_smooth_ms),
         rough_alpha_slew_ms=float(rough_alpha_slew_ms),
+        max_overlap=max_overlap,
     )
     knobs = {
         "pitch_shift": pitch_shift,

@@ -24,6 +24,8 @@ TPU, so this module reformulates both exactly:
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,31 +33,21 @@ import numpy as np
 from goofer_tpu import config
 
 
-def _ffill_combine(left, right):
-    """last-valid-wins combiner for forward-fill associative scans."""
-    lv, lok = left
-    rv, rok = right
-    return jnp.where(rok, rv, lv), lok | rok
+def _last_valid_index(valid: jnp.ndarray) -> jnp.ndarray:
+    """Index of the most recent valid sample <= i, or -1.  A cummax over
+    masked indices — one native cumulative-op HLO (associative_scan would
+    unroll into log(N) slice/concat layers and blow up compile time)."""
+    n = valid.shape[0]
+    idx = jnp.where(valid, jnp.arange(n, dtype=jnp.int32), jnp.int32(-1))
+    return jax.lax.cummax(idx, axis=0)
 
 
 def forward_fill(values: jnp.ndarray, valid: jnp.ndarray,
                  init: float) -> jnp.ndarray:
-    """values[i] from the most recent valid index <= i, else ``init``.
-
-    Implemented as an associative scan over (value, valid) pairs — TPU
-    gathers are slow, log-depth scans run at memory bandwidth."""
-    vals = values.astype(jnp.float32)
-    filled, ok = jax.lax.associative_scan(_ffill_combine, (vals, valid))
-    return jnp.where(ok, filled, jnp.asarray(init, vals.dtype))
-
-
-def _ffill_rows(vals: jnp.ndarray, valid: jnp.ndarray):
-    """Row-wise forward fill: vals (N, C), valid (N,).  Returns filled rows
-    and per-row validity (whether any valid row <= n exists)."""
-    ok = valid[:, None]
-    filled, ok_out = jax.lax.associative_scan(
-        _ffill_combine, (vals, jnp.broadcast_to(ok, vals.shape)))
-    return filled, ok_out[:, 0]
+    """values[i] from the most recent valid index <= i, else ``init``."""
+    ff = _last_valid_index(valid)
+    filled = jnp.take(values, jnp.maximum(ff, 0))
+    return jnp.where(ff >= 0, filled, jnp.asarray(init, values.dtype))
 
 
 def lf_pulse_value(u: jnp.ndarray, T: jnp.ndarray, Ra: float, Rg: float,
@@ -106,41 +98,185 @@ def _accumulate_pulses(n_samples: int, onset: jnp.ndarray,
     seconds) a pulse would use if it started there; they are only read at
     onsets.
 
-    Gather-free formulation: let A_0[n] be the (position, period, norm)
-    row of the most recent onset <= n (a forward-fill scan), and A_k the
-    row of the onset k generations back — obtained by, at each onset,
-    picking up A_{k-1} from the previous sample and forward-filling again.
-    Each level is one shift + one associative scan over (N, 4) rows, which
-    runs at memory bandwidth; per-sample table gathers (the naive lowering
-    of "look up generation g-k") are ~100x slower on TPU.
+    Formulation: let P_0[n] be the position of the most recent onset <= n
+    (a cummax over masked indices) and P_k the onset k generations back —
+    obtained by, at each onset, adopting P_{k-1} from the previous sample
+    and cummax-propagating forward.  Each level costs one cummax (a single
+    native cumulative HLO) plus ONE gather of the period track at the
+    onset positions; period/eps-guard/normalization are then recomputed
+    elementwise.  This replaces the naive four-table-gathers-per-level
+    lowering (~5x slower on TPU) without the compile-time blowup of
+    explicit associative-scan forward fills.
     """
     n = n_samples
-    pos_track = jnp.arange(n, dtype=jnp.float32)
+    sample_idx = jnp.arange(n, dtype=jnp.float32)
     T0f = T0_track.astype(jnp.float32)
     Tf = T_track.astype(jnp.float32)
-    norm_track = _grid_peak(T0f, Tf, Ra, Rg, Rk, guard)
-    rows = jnp.stack([pos_track, T0f, Tf, norm_track], axis=1)  # (N, 4)
 
-    sample_idx = pos_track
     out = jnp.zeros((n,), dtype=jnp.float32)
-
-    filled, ok = _ffill_rows(rows, onset)
+    p_idx = _last_valid_index(onset)                    # int32, -1 if none
     for k in range(max_overlap):
-        i_on = filled[:, 0]
-        T0_g = filled[:, 1]
-        T_g = filled[:, 2]
-        nrm = filled[:, 3]
-        offs = sample_idx - i_on
+        ok = p_idx >= 0
+        pos = jnp.maximum(p_idx, 0)
+        T0_g = jnp.take(T0f, pos)
+        T_g = jnp.take(Tf, pos)
+        nrm = _grid_peak(T0_g, T_g, Ra, Rg, Rk, guard)
+        offs = sample_idx - pos.astype(jnp.float32)
         u = offs / T0_g
         val = lf_pulse_value(u, T_g, Ra, Rg, Rk, guard) / nrm
         out = out + jnp.where(ok & (offs >= 0) & (offs < T0_g), val, 0.0)
         if k + 1 < max_overlap:
-            # rows of the onset one generation further back: at each onset
-            # sample, adopt the previous sample's current-level row
-            prev = jnp.concatenate([filled[:1], filled[:-1]], axis=0)
-            prev_ok = jnp.concatenate([jnp.zeros((1,), bool), ok[:-1]])
-            filled, ok = _ffill_rows(prev, onset & prev_ok)
+            # position of the onset one generation further back: at each
+            # onset sample, adopt the previous sample's current level
+            prev = jnp.concatenate(
+                [jnp.full((1,), -1, jnp.int32), p_idx[:-1]])
+            p_idx = jax.lax.cummax(
+                jnp.where(onset, prev, jnp.int32(-1)), axis=0)
     return out
+
+
+def _compact_onset_tables(n: int, onset, T0_track, T_track, Ra, Rg, Rk,
+                          guard, min_spacing: int):
+    """Scatter per-onset rows into compact per-generation tables (unique
+    indices -> fast scatter).  Returns (row_of_latest_onset_per_sample,
+    pos_tab, t0_tab, t_tab, norm_tab) with M = n // min_spacing + 2."""
+    m = n // min_spacing + 2
+    gen = jnp.cumsum(onset.astype(jnp.int32))
+    row = gen - 1                                  # 0-based, -1 before first
+    scatter_idx = jnp.where(onset, row, m)
+
+    def scatter(vals, fill):
+        tab = jnp.full((m + 1,), fill, dtype=jnp.float32)
+        return tab.at[scatter_idx].set(vals.astype(jnp.float32))[:m]
+
+    T0f = T0_track.astype(jnp.float32)
+    Tf = T_track.astype(jnp.float32)
+    norm_track = _grid_peak(T0f, Tf, Ra, Rg, Rk, guard)
+    pos_tab = scatter(jnp.arange(n, dtype=jnp.float32), float(4 * n))
+    t0_tab = scatter(T0f, 1.0)
+    t_tab = scatter(Tf, 1.0)
+    norm_tab = scatter(norm_track, 1.0)
+    return row, pos_tab, t0_tab, t_tab, norm_tab
+
+
+def _accumulate_pulses_blocked(n_samples: int, onset: jnp.ndarray,
+                               T0_track: jnp.ndarray, T_track: jnp.ndarray,
+                               Ra: float, Rg: float, Rk: float, guard: bool,
+                               max_overlap: int, min_spacing: int = 16,
+                               blk: int = 128) -> jnp.ndarray:
+    """Block-local pulse accumulation — the TPU fast path.
+
+    Per 128-sample block, gather a slab of consecutive onset rows covering
+    [gen(block_start) - K + 1, gen(block_end)] from compact tables, then
+    evaluate every (row, sample) pair densely and reduce.  Gathers drop
+    from N*K elements (per-sample lookups, ~100 M elem/s on TPU) to
+    n_blocks*slab (~500x fewer); the extra masked evaluations are cheap
+    VPU work.  ``min_spacing`` (assumed minimum onset distance in samples)
+    sizes the slab; onsets denser than that can overflow it and drop
+    pulses, mirroring the K-overlap approximation on the other end.
+    """
+    n = n_samples
+    row, pos_tab, t0_tab, t_tab, norm_tab = _compact_onset_tables(
+        n, onset, T0_track, T_track, Ra, Rg, Rk, guard, min_spacing)
+    m = pos_tab.shape[0]
+
+    n_blocks = -(-n // blk)
+    starts = jnp.arange(n_blocks, dtype=jnp.int32) * blk
+    g0 = jnp.take(row, jnp.minimum(starts, n - 1))
+    slab = min(m, max_overlap + blk // min_spacing + 2)
+    base = jnp.clip(g0 - (max_overlap - 1), 0, m - slab)
+    idx = base[:, None] + jnp.arange(slab, dtype=jnp.int32)[None, :]
+
+    pos = jnp.take(pos_tab, idx)[:, :, None]       # (n_blocks, slab, 1)
+    t0 = jnp.take(t0_tab, idx)[:, :, None]
+    ts = jnp.take(t_tab, idx)[:, :, None]
+    nrm = jnp.take(norm_tab, idx)[:, :, None]
+
+    t_grid = (starts[:, None, None]
+              + jnp.arange(blk, dtype=jnp.int32)[None, None, :]
+              ).astype(jnp.float32)                # (n_blocks, 1, blk)
+    offs = t_grid - pos
+    u = offs / t0
+    val = lf_pulse_value(u, ts, Ra, Rg, Rk, guard) / nrm
+    contrib = jnp.where((offs >= 0.0) & (offs < t0), val, 0.0)
+    return contrib.sum(axis=1).reshape(-1)[:n]
+
+
+@functools.lru_cache(maxsize=None)
+def _make_pallas_accumulate(slab: int, k_back: int, Ra: float, Rg: float,
+                            Rk: float, guard: bool, interpret: bool):
+    """custom_vmap-wrapped single-example entry over the batched Pallas
+    kernel, so ``jax.vmap`` of the render graph maps onto the kernel's
+    own batch grid axis instead of Pallas' generic batching."""
+    from goofer_tpu.ops.pallas.pulse_kernel import pulse_accumulate_pallas
+
+    @jax.custom_batching.custom_vmap
+    def accumulate(block_gen, pos_tab, t0_tab, t_tab, norm_tab):
+        out = pulse_accumulate_pallas(
+            block_gen[None], pos_tab[None], t0_tab[None], t_tab[None],
+            norm_tab[None], slab, k_back, Ra, Rg, Rk, guard, interpret)
+        return out[0]
+
+    @accumulate.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = [a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+                for a, b in zip(args, in_batched)]
+        out = pulse_accumulate_pallas(
+            *args, slab, k_back, Ra, Rg, Rk, guard, interpret)
+        return out, True
+
+    return accumulate
+
+
+def _accumulate_pulses_pallas(n_samples: int, onset: jnp.ndarray,
+                              T0_track: jnp.ndarray, T_track: jnp.ndarray,
+                              Ra: float, Rg: float, Rk: float, guard: bool,
+                              max_overlap: int, min_spacing: int = 16,
+                              interpret: bool = False) -> jnp.ndarray:
+    """Pallas block-local variant of _accumulate_pulses: compact onset
+    tables + per-block dense evaluation (see ops/pallas/pulse_kernel.py).
+
+    ``min_spacing`` is the assumed minimum onset spacing in samples (16 =
+    f0 up to ~2.75 kHz at 44.1 kHz); onsets denser than that within one
+    block can overflow the slab and drop pulses, mirroring the K-overlap
+    approximation of the jnp path on the other end.
+    """
+    from goofer_tpu.ops.pallas.pulse_kernel import BLK, OCTET
+
+    n = n_samples
+    m = n // min_spacing + 2
+    gen = jnp.cumsum(onset.astype(jnp.int32))
+    row = gen - 1                                  # 0-based, -1 before first
+    scatter_idx = jnp.where(onset, row, m)
+
+    def scatter(vals, fill):
+        tab = jnp.full((m + 1,), fill, dtype=jnp.float32)
+        return tab.at[scatter_idx].set(vals.astype(jnp.float32))[:m]
+
+    T0f = T0_track.astype(jnp.float32)
+    Tf = T_track.astype(jnp.float32)
+    norm_track = _grid_peak(T0f, Tf, Ra, Rg, Rk, guard)
+    pos_tab = scatter(jnp.arange(n, dtype=jnp.float32), float(2 * n + BLK))
+    t0_tab = scatter(T0f, 1.0)
+    t_tab = scatter(Tf, 1.0)
+    norm_tab = scatter(norm_track, 1.0)
+
+    n_blocks = -(-n // BLK)
+    n_blocks_pad = -(-n_blocks // OCTET) * OCTET
+    starts = jnp.minimum(jnp.arange(n_blocks_pad) * BLK, n - 1)
+    block_gen = row[starts]
+    slab = min(m, max_overlap + BLK // min_spacing + 2)
+    fn = _make_pallas_accumulate(slab, max_overlap - 1, Ra, Rg, Rk,
+                                 guard, interpret)
+    out = fn(block_gen, pos_tab, t0_tab, t_tab, norm_tab)
+    return out[:n]
+
+
+def _use_pallas_default() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
 
 
 def pulse_train(f0: jnp.ndarray, sr: float,
@@ -148,7 +284,8 @@ def pulse_train(f0: jnp.ndarray, sr: float,
                 Rg: float = config.PULSE_RG,
                 Rk: float = config.PULSE_RK,
                 fallback_f0: float = config.PULSE_FALLBACK_F0,
-                max_overlap: int = config.PULSE_MAX_OVERLAP) -> jnp.ndarray:
+                max_overlap: int = config.PULSE_MAX_OVERLAP,
+                use_pallas: bool | None = None) -> jnp.ndarray:
     """ARX-LF pulse train from a per-sample f0 track.
 
     Vectorized equivalent of ``pulse_train_numba`` (ref: GOOFER.py:473-554):
@@ -156,6 +293,10 @@ def pulse_train(f0: jnp.ndarray, sr: float,
     crossing starts one peak-normalized LF pulse whose period comes from the
     most recent f0 > 1e-6 (initially ``fallback_f0``), clamped to
     [3, 8192] samples.
+
+    The block-local formulation (see _accumulate_pulses_blocked) is the
+    default; ``use_pallas=True`` routes through the Pallas kernel, and
+    very short inputs fall back to the per-sample cummax path.
     """
     f0 = jnp.asarray(f0, dtype=jnp.float32)
     n = f0.shape[0]
@@ -164,6 +305,14 @@ def pulse_train(f0: jnp.ndarray, sr: float,
     onset = _onsets_from_phase(phase)
     T = 1.0 / jnp.maximum(f0v, 1e-6)
     T0 = jnp.clip(jnp.round(sr * T), config.PULSE_T0_MIN, config.PULSE_T0_MAX)
+    if use_pallas and n >= 512:
+        return _accumulate_pulses_pallas(n, onset, T0, T, Ra, Rg, Rk,
+                                         guard=True,
+                                         max_overlap=max_overlap)
+    if n >= 256:
+        return _accumulate_pulses_blocked(n, onset, T0, T, Ra, Rg, Rk,
+                                          guard=True,
+                                          max_overlap=max_overlap)
     return _accumulate_pulses(n, onset, T0, T, Ra, Rg, Rk, guard=True,
                               max_overlap=max_overlap)
 
@@ -171,7 +320,8 @@ def pulse_train(f0: jnp.ndarray, sr: float,
 def subharm_pulse_train(f0: jnp.ndarray, sr: float, mask: jnp.ndarray,
                         semitones, weight: float,
                         fallback_f0: float = config.PULSE_FALLBACK_F0,
-                        max_overlap: int = 8) -> jnp.ndarray:
+                        max_overlap: int = 8,
+                        use_pallas: bool | None = None) -> jnp.ndarray:
     """Subharmonic pulse layer (ref: GOOFER.py:672-746).
 
     Per semitone ratio, a phase tracker accumulates ``sub_f0/sr`` on voiced
@@ -199,9 +349,18 @@ def subharm_pulse_train(f0: jnp.ndarray, sr: float, mask: jnp.ndarray,
         T = 1.0 / jnp.maximum(sub_f0, 1e-6)
         T0 = jnp.clip(jnp.round(sr * T), config.PULSE_T0_MIN,
                       config.PULSE_T0_MAX)
-        total = total + _accumulate_pulses(
-            n, onset, T0, T, Ra=0.02, Rg=1.7, Rk=1.0, guard=False,
-            max_overlap=max_overlap)
+        if use_pallas and n >= 512:
+            total = total + _accumulate_pulses_pallas(
+                n, onset, T0, T, Ra=0.02, Rg=1.7, Rk=1.0, guard=False,
+                max_overlap=max_overlap, min_spacing=8)
+        elif n >= 256:
+            total = total + _accumulate_pulses_blocked(
+                n, onset, T0, T, Ra=0.02, Rg=1.7, Rk=1.0, guard=False,
+                max_overlap=max_overlap, min_spacing=8)
+        else:
+            total = total + _accumulate_pulses(
+                n, onset, T0, T, Ra=0.02, Rg=1.7, Rk=1.0, guard=False,
+                max_overlap=max_overlap)
 
     total = total * mask
     peak = jnp.max(jnp.abs(total))

@@ -421,12 +421,13 @@ class GooferResampler:
         f0_ceil = max(ceil_cands) * jit_hi
         # subharmonics run at 2x f0 (semitones=12): same ratio, covered.
         ratio = f0_ceil / f0_floor
-        max_overlap = int(np.clip(np.ceil(0.804 * ratio) + 2, 3, 32))
+        max_overlap = config.bucket_overlap(
+            int(np.clip(np.ceil(0.804 * ratio) + 2, 3, 32)))
         # growl layer: f0 * 0.5 * 2**N(0, mix^2); bound the spread at 3
         # sigma each way (tails only lose low-amplitude pulse ends)
         spread = 2.0 ** (6.0 * p.growl_mix ** 2) if p.growl_mix > 0 else 1.0
-        growl_max_overlap = int(np.clip(
-            np.ceil(0.804 * ratio * spread) + 2, 3, 32))
+        growl_max_overlap = config.bucket_overlap(int(np.clip(
+            np.ceil(0.804 * ratio * spread) + 2, 3, 32)))
 
         rs = RenderStatic(
             sr=sr, n_fft=self.n_fft, hop=hop, n=n_total, t_env=t_env,
