@@ -34,16 +34,16 @@ def _lowpass_kernel(cutoff_frac: float, taps: int = 127) -> np.ndarray:
 
 def _resample_to(y: jnp.ndarray, sr: float, target_sr: float) -> jnp.ndarray:
     """Anti-aliased linear resample (downsample only)."""
+    from goofer_tpu.ops.filters import fft_conv_valid
+
     if target_sr >= sr:
         return y, sr
     kernel = _lowpass_kernel(target_sr / sr)
     pad = (len(kernel) - 1) // 2
     yp = jnp.pad(y, pad, mode="edge")
-    lhs = yp[None, None, :]
-    rhs = jnp.asarray(kernel)[None, None, :]
-    filt = jax.lax.conv_general_dilated(
-        lhs, rhs, (1,), "VALID", dimension_numbers=("NCH", "OIH", "NCH"),
-    )[0, 0]
+    # 127-tap direct conv on a full waveform costs minutes of XLA-TPU
+    # compile time; the pow2-padded FFT path compiles in ~1 s.
+    filt = fft_conv_valid(yp[None, :], kernel)[0]
     n_out = int(round(y.shape[0] * target_sr / sr))
     pos = jnp.arange(n_out) * (sr / target_sr)
     lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, y.shape[0] - 2)

@@ -18,8 +18,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Above this many taps, convolution switches to the FFT path.
-_FFT_CONV_THRESHOLD = 257
+# XLA-TPU compile-time cost model (measured on the live v5e toolchain,
+# tools/probe_conv.py): direct conv compile grows superlinearly in
+# taps * length (33 taps on a 26k row = 49 s, 65 taps = 101 s), while an
+# FFT conv compiles in ~1-3 s PROVIDED the FFT size is a power of two
+# (nfft = 6600, with a factor 11, took 31 s to compile; 8192 is fast).
+# So: direct only when taps * length is small, FFT with pow2 padding
+# otherwise.
+_DIRECT_CONV_MAX_WORK = 120_000   # taps * length
+_DIRECT_CONV_MAX_TAPS = 33
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << (int(n) - 1).bit_length()
 
 
 @functools.lru_cache(maxsize=None)
@@ -32,18 +43,35 @@ def gaussian_kernel1d(sigma: float, truncate: float = 4.0) -> np.ndarray:
     return k.astype(np.float32)
 
 
+def fft_conv_valid(x2d: jnp.ndarray, kernel, ksize: int | None = None
+                   ) -> jnp.ndarray:
+    """'valid' FFT convolution of each (B, L) row with a symmetric kernel.
+
+    The FFT size is padded to a power of two: XLA-TPU FFT compile time is
+    highly sensitive to the size's factorization (measured 31 s for a
+    6600-point rfft vs ~1 s for 8192).  Circular wraparound only corrupts
+    full-conv indices < ksize-1, which the valid slice skips.
+    """
+    kernel = jnp.asarray(kernel, dtype=x2d.dtype)
+    if ksize is None:
+        ksize = kernel.shape[0]
+    length = x2d.shape[-1]
+    out_len = length - ksize + 1
+    nfft = _next_pow2(length)
+    kf = jnp.fft.rfft(kernel, n=nfft)
+    xf = jnp.fft.rfft(x2d, n=nfft, axis=-1)
+    full = jnp.fft.irfft(xf * kf[None, :], n=nfft, axis=-1)
+    # 'full' conv index k maps to valid index k - (ksize - 1)
+    return jax.lax.dynamic_slice_in_dim(full, ksize - 1, out_len, axis=-1)
+
+
 def _conv_valid_lastaxis(x2d: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
     """'valid' correlation of each row of (B, L) with a symmetric kernel."""
     ksize = kernel.shape[0]
-    if ksize >= _FFT_CONV_THRESHOLD:
-        b, length = x2d.shape
-        out_len = length - ksize + 1
-        nfft = int(length)
-        kf = jnp.fft.rfft(jnp.asarray(kernel, dtype=x2d.dtype), n=nfft)
-        xf = jnp.fft.rfft(x2d, n=nfft, axis=-1)
-        full = jnp.fft.irfft(xf * kf[None, :], n=nfft, axis=-1)
-        # 'full' conv index k maps to valid index k - (ksize - 1)
-        return jax.lax.dynamic_slice_in_dim(full, ksize - 1, out_len, axis=1)
+    length = int(x2d.shape[-1])
+    if (ksize > _DIRECT_CONV_MAX_TAPS
+            or ksize * length > _DIRECT_CONV_MAX_WORK):
+        return fft_conv_valid(x2d, kernel, ksize)
     # Direct path: depthwise 1-D convolution.  Gaussian is symmetric so
     # correlation == convolution.
     lhs = x2d[:, None, :]  # (batch, chan=1, length)

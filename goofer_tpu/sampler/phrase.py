@@ -30,8 +30,8 @@ from goofer_tpu.sampler.render_core import render_note_core, default_scalars
 
 ARRAY_ORDER = (
     "env_cut", "f0_cut", "mask_cut", "env_pos0", "env_pos1", "env_w",
-    "samp_pos", "vel_env_pos", "vel_samp_pos", "tracks", "midi_curve",
-    "fry_base_w", "fry_frame_w", "fry_mask",
+    "samp_pos", "vel_env_pos", "vel_samp_pos", "tracks", "pitch_ticks",
+    "fry_base_w", "fry_frame_w", "fry_mask", "pd_bend",
 )
 
 
@@ -63,14 +63,21 @@ class _Planned:
 _batched_core_cache: dict = {}
 
 
-def _batched_core(rs, axes: tuple):
+def _batched_core(rs, axes: tuple, pcm16: bool = False):
     """vmapped fused core; ``axes`` holds 0 (batched) or None (shared)
     per ARRAY_ORDER entry — arrays identical across the group are passed
-    once instead of stacked B times."""
-    key = (rs, axes)
+    once instead of stacked B times.  ``pcm16`` appends on-device int16
+    quantization (the WAV payload dtype)."""
+    key = (rs, axes, pcm16)
     fn = _batched_core_cache.get(key)
     if fn is None:
         core = partial(render_note_core, rs)
+        if pcm16:
+            def core_pcm(*args):
+                out = render_note_core(rs, *args)
+                q = jnp.clip(out, -1.0, 32767.0 / 32768.0) * 32768.0
+                return jnp.round(q).astype(jnp.int16)
+            core = core_pcm
         fn = jax.jit(jax.vmap(core, in_axes=axes + (0, 0)))
         _batched_core_cache[key] = fn
     return fn
@@ -112,10 +119,15 @@ def plan_phrase(notes, n_fft: int = config.SAMPLER_N_FFT,
 
 
 def render_phrase(notes, n_fft: int = config.SAMPLER_N_FFT,
-                  hop: int = config.SAMPLER_HOP, seed: int = 0):
-    """Render a list of NoteSpec; returns list of float32 waveforms in the
-    input order.  Notes sharing a graph signature render as one vmapped
-    dispatch."""
+                  hop: int = config.SAMPLER_HOP, seed: int = 0,
+                  pcm16: bool = False):
+    """Render a list of NoteSpec; returns list of waveforms in the input
+    order.  Notes sharing a graph signature render as one vmapped
+    dispatch; all dispatches are issued asynchronously before any result
+    is fetched, so host<->device transfer overlaps device compute.
+
+    ``pcm16=True`` quantizes to int16 PCM on device — the actual payload
+    of the output WAVs — halving device->host transfer."""
     planned, _ = plan_phrase(notes, n_fft, hop)
 
     groups: dict = {}
@@ -125,31 +137,44 @@ def render_phrase(notes, n_fft: int = config.SAMPLER_N_FFT,
         groups.setdefault((pl.rs, shape_key), []).append(pl)
 
     outs: list = [None] * len(planned)
-    master = jax.random.PRNGKey(seed)
+    pending = []
     for (rs, _shape_key), members in groups.items():
-        keys = jax.random.split(jax.random.fold_in(master, members[0].index),
-                                len(members))
-        # arrays identical (by object) across the group ride in_axes=None
+        # per-note threefry keys fabricated on host: (seed, note index) —
+        # distinct uint32 pairs are independent keys, and this avoids two
+        # device round-trips (fold_in + split) per group
+        keys = np.stack([
+            np.full(len(members), seed & 0xFFFFFFFF, dtype=np.uint32),
+            np.asarray([m.index for m in members], dtype=np.uint32),
+        ], axis=1)
+        # arrays identical (by object) across the group ride in_axes=None;
+        # numpy arrays pass straight to jit (one transfer at dispatch)
         axes = []
         stacked = []
         for k in ARRAY_ORDER:
             first = members[0].arrays[k]
             if all(m.arrays[k] is first for m in members):
                 axes.append(None)
-                stacked.append(jnp.asarray(np.asarray(first)))
+                stacked.append(np.asarray(first))
             else:
                 axes.append(0)
-                stacked.append(jnp.asarray(np.stack(
-                    [np.asarray(m.arrays[k]) for m in members])))
+                stacked.append(np.stack(
+                    [np.asarray(m.arrays[k]) for m in members]))
         base = default_scalars()
         sc = {}
-        for k in base:
-            vals = [np.asarray(m.scalars.get(k, base[k]), dtype=np.float32)
-                    for m in members]
-            sc[k] = jnp.asarray(np.stack(vals))
-        fn = _batched_core(rs, tuple(axes))
-        result = fn(*stacked, sc, keys)
-        result = np.asarray(result)
+        for k, dflt in base.items():
+            if np.isscalar(dflt):
+                sc[k] = np.fromiter(
+                    (m.scalars.get(k, dflt) for m in members),
+                    dtype=np.float32, count=len(members))
+            else:
+                sc[k] = np.stack([np.asarray(m.scalars.get(k, dflt),
+                                             dtype=np.float32)
+                                  for m in members])
+        fn = _batched_core(rs, tuple(axes), pcm16)
+        pending.append((members, fn(*stacked, sc, keys)))
+
+    for members, result in pending:
+        result = np.asarray(result)          # blocks on this group only
         for j, m in enumerate(members):
             outs[m.index] = result[j]
     return outs

@@ -94,6 +94,9 @@ def default_scalars() -> dict:
         "normalize": 1.0,
         "pitch_dyn": 0.0,
         "pd_baseline": 0.0,
+        "pd_ref": 1.0,
+        "tick_dt_samp": 1.0,
+        "n_ticks": 1.0,
         "fry_vh": 50.0,
         "subharm_gain": 0.0,
         "growl_mix": 0.0,
@@ -158,13 +161,26 @@ def render_note_core(rs: RenderStatic,
                      env_cut, f0_cut, mask_cut,
                      env_pos0, env_pos1, env_w,
                      samp_pos, vel_env_pos, vel_samp_pos,
-                     tracks, midi_curve, fry_base_w, fry_frame_w, fry_mask,
-                     scalars, key):
+                     tracks, pitch_ticks, fry_base_w, fry_frame_w, fry_mask,
+                     pd_bend, scalars, key):
     """One fused note render; see module docstring.  All array args are
-    device arrays shaped per RenderStatic; returns the final waveform."""
+    device arrays shaped per RenderStatic; returns the final waveform.
+
+    ``pitch_ticks`` is the UTAU tick-rate pitch curve in MIDI semitones
+    (edge-padded; true tick count in ``scalars["n_ticks"]``); the
+    per-sample curve is interpolated on device — shipping it per-sample
+    costs ~100 kB/note of host->device bandwidth for redundant data."""
     sr, n_fft, hop, n = rs.sr, rs.n_fft, rs.hop, rs.n
     sc = scalars
     k_main, k_su, k_sj, k_sa, k_sd, k_noise = jax.random.split(key, 6)
+
+    # per-sample MIDI curve from tick-rate data (ref semantics:
+    # np.interp over [0, t_max] clamped, SillySampler.py:835-855)
+    tick_pos = jnp.clip(
+        jnp.arange(n, dtype=jnp.float32) / sc["tick_dt_samp"],
+        0.0, sc["n_ticks"] - 1.0)
+    midi_curve = gather_lerp(pitch_ticks.astype(jnp.float32), tick_pos,
+                             axis=0)
 
     env = env_cut.astype(jnp.float32)
     if rs.tilt_on:
@@ -186,18 +202,17 @@ def render_note_core(rs: RenderStatic,
         env_new = env_new * _strength_gain(env_new.shape[0], tracks,
                                            sc["formant_strengths"], sr)
 
-    # pitch curve (midi_curve precomputed on host, ref exact)
+    # pitch curve -> Hz, gated by voicing (ref: SillySampler.py:848-855)
     hz_curve = 440.0 * 2.0 ** ((midi_curve - 69.0) / 12.0)
     f0_new = mask_new * hz_curve
 
-    # pd: pitch-driven dynamics (ref: SillySampler.py:857-881)
+    # pd: pitch-driven dynamics (ref: SillySampler.py:857-881).  The
+    # smoothed bend curve and its 95th-percentile scale are host-computed
+    # (``pd_bend``/``pd_ref``): both derive from the host-built midi curve,
+    # and an on-device jnp.percentile costs ~18 s of XLA-TPU compile (sort).
     dyn_gain = None
     if rs.pd_on:
-        bend_semi = midi_curve - sc["pd_baseline"]
-        sigma_samp = max(1, int(0.010 * sr))
-        bend_s = gaussian_blur1d(bend_semi, float(sigma_samp))
-        ref = jnp.percentile(jnp.abs(bend_s), 95.0) + 1e-8
-        v = jnp.clip(bend_s / ref, -1.0, 1.0)
+        v = jnp.clip(pd_bend / sc["pd_ref"], -1.0, 1.0)
         signed = jnp.where(sc["pitch_dyn"] > 0, v, -v)
         gain_db = 12.0 * jnp.abs(sc["pitch_dyn"]) * signed
         dyn_gain = jnp.clip(10.0 ** (gain_db / 20.0), 1e-3, 1e3)
@@ -365,5 +380,6 @@ def render_note(rs: RenderStatic, arrays: dict, scalars: dict, key):
         rs, arrays["env_cut"], arrays["f0_cut"], arrays["mask_cut"],
         arrays["env_pos0"], arrays["env_pos1"], arrays["env_w"],
         arrays["samp_pos"], arrays["vel_env_pos"], arrays["vel_samp_pos"],
-        arrays["tracks"], arrays["midi_curve"], arrays["fry_base_w"],
-        arrays["fry_frame_w"], arrays["fry_mask"], sc, key)
+        arrays["tracks"], arrays["pitch_ticks"], arrays["fry_base_w"],
+        arrays["fry_frame_w"], arrays["fry_mask"], arrays["pd_bend"],
+        sc, key)

@@ -65,7 +65,8 @@ def _np_fit(x: np.ndarray, t: int) -> np.ndarray:
 
 
 def _np_gaussian1d(x: np.ndarray, sigma: float) -> np.ndarray:
-    """Reference-style Gaussian smoothing on host (reflect pad)."""
+    """Reference-style Gaussian smoothing on host (reflect pad); switches
+    to an FFT convolution for large taps*length products."""
     if sigma <= 0 or x.size == 0:
         return x.copy()
     k = gaussian_kernel1d(float(sigma)).astype(np.float64)
@@ -73,6 +74,12 @@ def _np_gaussian1d(x: np.ndarray, sigma: float) -> np.ndarray:
     if radius <= 0:
         return x.copy()
     padded = np.pad(x.astype(np.float64), radius, mode="reflect")
+    if len(k) * len(padded) > 4_000_000:
+        n = len(padded)
+        nfft = 1 << (n + len(k) - 2).bit_length()
+        full = np.fft.irfft(np.fft.rfft(padded, nfft)
+                            * np.fft.rfft(k, nfft), nfft)
+        return full[len(k) - 1: len(k) - 1 + n - len(k) + 1]
     return np.convolve(padded, k, mode="valid")
 
 
@@ -142,26 +149,42 @@ def invalidate_render_cache(out_path: str, feat_path: str) -> None:
         log.warning("[SE] Cache invalidate failed: %s", e)
 
 
+_decoded_cache: dict = {}
+
+
 def acquire_features(in_file: Path, n_fft: int, hop: int):
     """Load the .goofy cache or extract + save it
-    (ref: SillySampler.py:415-432).  Returns dense env on device."""
+    (ref: SillySampler.py:415-432).  Returns dense env on device.
+
+    Decoded features are memoized on (path, mtime): repeated phrase plans
+    and server requests against the same source skip the .goofy parse and
+    the knot-decode device round-trip."""
     from goofer_tpu.analysis.features import extract_features
 
     feat = _feature_path(in_file)
     if feat.exists():
+        ck = (str(feat), feat.stat().st_mtime_ns, n_fft, hop)
+        hit = _decoded_cache.get(ck)
+        if hit is not None:
+            return hit
         log.info("Loading cached features")
         env, f0i, vmask, forms, sr, ylen = load_features(feat)
         if isinstance(env, dict) and env.get("mode") == "knots":
             env = np.asarray(decode_env_from_knots(
                 jnp.asarray(env["knot_vals_log"], dtype=jnp.float32),
                 env["sr"], env["n_fft"], env["n_bins"]))
-    else:
-        log.info("Extracting features")
-        y, sr = read_wav_mono(in_file)
-        env, f0i, vmask, forms, knots = extract_features(
-            y, sr, n_fft=n_fft, hop_length=hop)
-        ylen = len(y)
-        save_features(feat, knots, f0i, vmask, forms, sr, ylen)
+        out = (np.asarray(env, dtype=np.float32), f0i, vmask, forms,
+               sr, ylen)
+        if len(_decoded_cache) > 64:
+            _decoded_cache.clear()
+        _decoded_cache[ck] = out
+        return out
+    log.info("Extracting features")
+    y, sr = read_wav_mono(in_file)
+    env, f0i, vmask, forms, knots = extract_features(
+        y, sr, n_fft=n_fft, hop_length=hop)
+    ylen = len(y)
+    save_features(feat, knots, f0i, vmask, forms, sr, ylen)
     return np.asarray(env, dtype=np.float32), f0i, vmask, forms, sr, ylen
 
 
@@ -187,9 +210,19 @@ class GooferResampler:
         self.editor_hook = editor_hook
         self.n_fft = n_fft
         self.hop = hop
-        self.key = jax.random.PRNGKey(seed)
+        self._seed = seed
+        self._key = None
         if autorender:
             self.render()
+
+    @property
+    def key(self):
+        # lazy: PRNGKey is a device dispatch (~2 ms through the device
+        # tunnel), and phrase planning constructs many resamplers whose
+        # key is never used (the batcher supplies its own)
+        if self._key is None:
+            self._key = jax.random.PRNGKey(self._seed)
+        return self._key
 
     # ------------------------------------------------------------------
 
@@ -358,25 +391,61 @@ class GooferResampler:
              p.loop_mode, desired_tail_frames, target_frames, t_env, vel),
             build_tracks)
 
-        # --- pitch curve (host, exact reference semantics) -------------
-        def build_midi_curve():
+        # --- pitch curve ------------------------------------------------
+        # The device interpolates the tick-rate curve per sample
+        # (render_core); the host builds the dense curve too, but only for
+        # the pd scale and the pulse-overlap bounds below — it never ships.
+        tick_dt = 60.0 / (p.tempo * 96.0)
+
+        def build_ticks():
             bend = p.bend_cents.astype(np.float64)
-            pitch_semi = bend / 100.0 + p.pitch_midi
+            semi = bend / 100.0 + p.pitch_midi
             if p.t_cents:
-                pitch_semi = pitch_semi + p.t_cents / 100.0
-            tick_dt = 60.0 / (p.tempo * 96.0)
+                semi = semi + p.t_cents / 100.0
+            k = len(semi)
+            k_pad = max(16, 1 << (k - 1).bit_length())
+            out = np.full(k_pad, semi[-1], dtype=np.float32)
+            out[:k] = semi.astype(np.float32)
+            return out, k
+
+        pitch_ticks, n_ticks = cached(
+            ("ticks", p.pitch_midi, p.t_cents, p.bend_cents.tobytes()),
+            build_ticks)
+
+        def build_midi_curve():
+            semi = pitch_ticks[:n_ticks].astype(np.float64)
             t_samples = np.arange(n_total) / sr
-            if len(pitch_semi) == 1:
-                return np.full(n_total, float(pitch_semi[0]))
-            t_max = (len(pitch_semi) - 1) * tick_dt
+            if n_ticks == 1:
+                return np.full(n_total, float(semi[0]))
+            t_max = (n_ticks - 1) * tick_dt
             t_clamped = np.clip(t_samples, 0.0, t_max)
             return np.interp(t_clamped / tick_dt,
-                             np.arange(len(pitch_semi)), pitch_semi)
+                             np.arange(n_ticks), semi)
 
         midi_curve = cached(
             ("midi", n_total, p.pitch_midi, p.t_cents, p.tempo,
              p.bend_cents.tobytes()),
             build_midi_curve)
+
+        # --- pd: smoothed bend + 95th-percentile scale (host) -----------
+        pd_on = p.pitch_dyn != 0.0
+        pd_baseline = p.pitch_midi + (p.t_cents / 100.0)
+
+        def build_pd():
+            sigma = max(1, int(0.010 * sr))
+            bend = _np_gaussian1d(midi_curve - pd_baseline, float(sigma))
+            ref = float(np.percentile(np.abs(bend), 95.0) + 1e-8)
+            return bend.astype(np.float32), ref
+
+        if pd_on:
+            pd_bend, pd_ref = cached(
+                ("pd", n_total, pd_baseline, p.pitch_midi, p.t_cents,
+                 p.tempo, p.bend_cents.tobytes()),
+                build_pd)
+        else:
+            pd_bend = cached(("zeros1",),
+                             lambda: np.zeros(1, dtype=np.float32))
+            pd_ref = 1.0
 
         # --- fry weights ------------------------------------------------
         vf = float(np.clip(p.fry_amount, -100.0, 100.0))
@@ -464,13 +533,11 @@ class GooferResampler:
             "vel_env_pos": (fplan.pos0 if fplan is not None else one),
             "vel_samp_pos": (splan.pos0 if splan is not None else one),
             "tracks": tracks,
-            "midi_curve": cached(
-                ("midi32", n_total, p.pitch_midi, p.t_cents, p.tempo,
-                 p.bend_cents.tobytes()),
-                lambda: midi_curve.astype(np.float32)),
+            "pitch_ticks": pitch_ticks,
             "fry_base_w": (fry_base_w if fry_on else one),
             "fry_frame_w": fry_frame_w,
             "fry_mask": fry_mask_arr,
+            "pd_bend": pd_bend,
         }
         scalars = {
             "brightness_env": p.brightness_env,
@@ -484,7 +551,10 @@ class GooferResampler:
             "subharm_weight": p.subharm_weight,
             "normalize": p.normalize,
             "pitch_dyn": p.pitch_dyn,
-            "pd_baseline": p.pitch_midi + (p.t_cents / 100.0),
+            "pd_baseline": pd_baseline,
+            "pd_ref": pd_ref,
+            "tick_dt_samp": tick_dt * sr,
+            "n_ticks": float(n_ticks),
             "fry_vh": p.fry_base_hz,
             "subharm_gain": p.subharm_gain,
             "growl_mix": p.growl_mix,

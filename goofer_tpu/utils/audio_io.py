@@ -70,7 +70,14 @@ def read_wav_mono(path) -> tuple[np.ndarray, int]:
 
 
 def write_wav(path, data: np.ndarray, sr: int) -> None:
-    """Write float audio as 16-bit PCM WAV (soundfile's default subtype)."""
+    """Write audio as 16-bit PCM WAV (soundfile's default subtype).
+
+    Float input is quantized; int16 input (e.g. device-side PCM from
+    ``render_phrase(..., pcm16=True)``) is written as-is."""
+    data = np.asarray(data)
+    if data.dtype == np.int16:
+        _wavfile.write(str(path), int(sr), data)
+        return
     nat = _native_codec()
     if nat is not None and str(path).lower().endswith(".wav"):
         nat.write_wav(path, data, sr)
