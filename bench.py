@@ -113,6 +113,30 @@ def main():
     }), flush=True)
     _log(f"reps (x realtime): {[round(r, 1) for r in rtfs]}")
 
+    # secondary (stderr-only): randomized note lengths — geometry
+    # bucketing must keep compile count and throughput sane on phrases
+    # with NO repeated note geometry (VERDICT r1 item 3)
+    rng = np.random.default_rng(1)
+    rand_notes = [
+        NoteSpec(src, scale[int(rng.integers(len(scale)))],
+                 length=int(rng.integers(300, 900)), consonant=60,
+                 flags=f"t{int(rng.integers(-30, 30))}")
+        for _ in range(40)
+    ]
+    rand_audio = sum((n.consonant + n.length) / 1000.0 for n in rand_notes)
+    t0 = time.perf_counter()
+    render_phrase(rand_notes, pcm16=True)
+    _log(f"randomized-length phrase warmup (40 unique lengths): "
+         f"{time.perf_counter() - t0:.1f}s")
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = render_phrase(rand_notes, pcm16=True)
+        best = max(best, rand_audio / (time.perf_counter() - t0))
+    assert all(np.abs(o).max() > 0 for o in outs)
+    _log(f"randomized-length phrase ({rand_audio:.1f}s audio): "
+         f"{best:.1f}x realtime")
+
 
 if __name__ == "__main__":
     main()

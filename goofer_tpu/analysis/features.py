@@ -93,6 +93,84 @@ def _analysis_graph(n: int, sr: int, n_fft: int, hop: int, f0_min: float,
     return jax.jit(graph), k_values
 
 
+@functools.lru_cache(maxsize=32)
+def _analysis_graph_bucketed(n_pad: int, sr: int, n_fft: int, hop: int,
+                             f0_min: float, f0_merge_range: int,
+                             with_formants: bool, pf_pad: int, ff_pad: int):
+    """Bucket-padded, vmapped analysis graph: one compile serves every
+    file whose length rounds up to ``n_pad`` (SURVEY §7 / VERDICT r1
+    item 4).  Waveforms carry trailing zeros; the pitch/formant frame
+    grids are host-computed from each file's TRUE length (windows never
+    read padding), padded to static frame buckets, and the Viterbi passes
+    through padded steps untouched — so true-frame results equal the
+    unpadded graph."""
+    from goofer_tpu.analysis.formants import formant_graph as _fg
+    from goofer_tpu.analysis.pitch import pitch_graph_bucketed
+
+    n_bins = n_fft // 2 + 1
+    k_values = tuple(range(KNOT_K_START, KNOT_K_MAX + 1, KNOT_K_STEP))
+    dt = hop / sr
+
+    def graph(y, n_true, p_starts, p_nf, f_starts):
+        # write the stft's right reflect pad at the TRUE end into the
+        # zero padding, so even the boundary-straddling frames equal the
+        # unpadded analysis: padded[n_true+k] = y[n_true-2-k]
+        nt = n_true.astype(jnp.int32)
+        m = n_fft // 2
+        src = jnp.clip(nt - 2 - jnp.arange(m, dtype=jnp.int32), 0,
+                       n_pad - 1)
+        y_m = jax.lax.dynamic_update_slice(y, jnp.take(y, src), (nt,))
+
+        S = stft(y_m, n_fft, hop)
+        mag = jnp.abs(S) + 1e-8
+        env_spec = gaussian_blur1d(mag, 2.0, axis=0)
+        t_pad = env_spec.shape[1]
+        # true stft frame count: 1 + n_true // hop (center-padded framing)
+        t_true = 1 + n_true.astype(jnp.int32) // hop
+
+        f0_track = pitch_graph_bucketed(y, sr, dt, p_starts, p_nf,
+                                        PitchConfig(f0_min=f0_min))
+        f0_track = jnp.nan_to_num(f0_track)
+        f0_track = fix_f0_gaps(f0_track, f0_merge_range)
+        # per-sample interp over the shared [0, duration] axis, with the
+        # TRUE frame/sample counts (ref: GOOFER.py:960-963)
+        pos = (jnp.arange(n_pad, dtype=jnp.float32)
+               * (jnp.maximum(p_nf.astype(jnp.float32) - 1.0, 0.0)
+                  / jnp.maximum(n_true - 1.0, 1.0)))
+        pos = jnp.minimum(pos, p_nf.astype(jnp.float32) - 1.0)
+        f0_interp = gather_lerp(f0_track, pos, axis=0)
+        f0_interp = jnp.where(p_nf > 1, f0_interp, f0_track[0])
+        f0_interp = jnp.clip(f0_interp, config.F0_CLIP_LO, config.F0_CLIP_HI)
+        voicing_mask = (f0_interp > f0_min).astype(jnp.float32)
+
+        if with_formants:
+            tracks = _fg(y, sr, dt, starts=f_starts)
+        else:
+            tracks = jnp.zeros((5, ff_pad), dtype=jnp.float32)
+
+        # knot codec error sweep at 256 check columns of the TRUE range
+        env_s = gaussian_blur1d(env_spec, 0.5, axis=0)
+        log_env = jnp.log(jnp.maximum(env_s, 1e-8))
+        cpos = jnp.round(jnp.arange(256, dtype=jnp.float32)
+                         * (t_true.astype(jnp.float32) - 1.0) / 255.0
+                         ).astype(jnp.int32)
+        env_check = env_s[:, cpos]
+        log_check = log_env[:, cpos]
+        errs = []
+        for k in k_values:
+            bin_idx = _knot_bin_idx(sr, n_fft, k, n_bins)
+            knots = log_check[bin_idx, :]
+            w = jnp.asarray(_decode_matrix(sr, n_fft, k))
+            recon = jnp.exp(jnp.dot(w, knots,
+                                    preferred_element_type=jnp.float32))
+            errs.append(jnp.max(jnp.abs(recon - env_check)
+                                / (env_check + 1e-8)))
+        return env_spec, f0_interp, voicing_mask, tracks, log_env, \
+            jnp.stack(errs)
+
+    return jax.jit(jax.vmap(graph)), k_values
+
+
 def extract_features(y, sr: int, n_fft: int = 1024, hop_length: int = 256,
                      f0_min: float = 75.0, f0_merge_range: int = 2,
                      with_formants: bool = True):
@@ -134,3 +212,116 @@ def extract_features(y, sr: int, n_fft: int = 1024, hop_length: int = 256,
 
     return (np.asarray(env_spec), np.asarray(f0_interp, dtype=np.float64),
             np.asarray(voicing_mask, dtype=np.float64), formants, env_knots)
+
+
+def _pick_knots(log_env: np.ndarray, errs: np.ndarray, k_values,
+                sr: int, n_fft: int) -> dict:
+    """Host side of the adaptive-K search: pick the first K under the
+    budget and gather its knot rows (ref: GOOFER.py:97-147)."""
+    n_bins = n_fft // 2 + 1
+    chosen = k_values[-1]
+    for k, e in zip(k_values, errs):
+        if e < KNOT_EPS:
+            chosen = int(k)
+            break
+    bin_idx = _knot_bin_idx(sr, n_fft, chosen, n_bins)
+    return {
+        "mode": "knots",
+        "knot_vals_log": log_env[bin_idx, :].astype(np.float16),
+        "hz_knots": mel_knot_freqs(sr, n_fft, chosen),
+        "n_bins": int(n_bins),
+        "n_fft": int(n_fft),
+        "sr": int(sr),
+    }
+
+
+def extract_features_batch(ys, sr: int, n_fft: int = 1024,
+                           hop_length: int = 256, f0_min: float = 75.0,
+                           f0_merge_range: int = 2,
+                           with_formants: bool = True,
+                           chunk: int = 16):
+    """Batched feature extraction: waveforms bucket by padded length and
+    each bucket runs as vmapped dispatches of ONE compiled analysis graph
+    (chunks padded to a fixed batch), so a voicebank of arbitrary file
+    lengths extracts with a handful of compiles instead of one
+    multi-second compile per distinct length.
+
+    ``ys``: list of 1-D float arrays at a common sample rate.  Returns a
+    list of per-file tuples shaped exactly like extract_features."""
+    from goofer_tpu.analysis.formants import formant_frame_grid
+    from goofer_tpu.analysis.pitch import (
+        PitchConfig,
+        _frame_grid,
+        pitch_window_len,
+    )
+
+    cfg = PitchConfig(f0_min=f0_min)
+    dt = hop_length / sr
+    items = []
+    for i, y in enumerate(ys):
+        y = np.asarray(y, dtype=np.float32)
+        # +8 hops margin keeps the trailing pad past the gap-filler reach
+        n_pad = config.bucket_len(len(y) + 8 * hop_length)
+        items.append((n_pad, i, y))
+
+    results: list = [None] * len(ys)
+    by_bucket: dict = {}
+    for n_pad, i, y in items:
+        by_bucket.setdefault(n_pad, []).append((i, y))
+
+    for n_pad, group in sorted(by_bucket.items()):
+        pf_pad = n_pad // hop_length + 2
+        ff_pad = n_pad // hop_length + 2
+        graph, k_values = _analysis_graph_bucketed(
+            n_pad, int(sr), n_fft, hop_length, float(f0_min),
+            int(f0_merge_range), bool(with_formants), pf_pad, ff_pad)
+        for c0 in range(0, len(group), chunk):
+            part = group[c0:c0 + chunk]
+            b_pad = config.bucket_batch(min(chunk, len(part)))
+            rows = part + [part[-1]] * (b_pad - len(part))
+
+            yb = np.zeros((b_pad, n_pad), dtype=np.float32)
+            n_true = np.empty(b_pad, dtype=np.float32)
+            p_starts = np.zeros((b_pad, pf_pad), dtype=np.int32)
+            p_nf = np.empty(b_pad, dtype=np.int32)
+            f_starts = np.zeros((b_pad, ff_pad), dtype=np.int32)
+            ff_true = np.empty(b_pad, dtype=np.int64)
+            for j, (idx, y) in enumerate(rows):
+                n = len(y)
+                yb[j, :n] = y
+                n_true[j] = n
+                wlen = min(pitch_window_len(sr, cfg), max(16, n))
+                nf, starts, _ = _frame_grid(n, sr, dt, wlen)
+                p_nf[j] = nf
+                p_starts[j, :nf] = starts
+                p_starts[j, nf:] = starts[-1]
+                fnf, fstarts, _, _ = formant_frame_grid(n, sr, dt)
+                ff_true[j] = fnf
+                f_starts[j, :fnf] = fstarts
+                f_starts[j, fnf:] = fstarts[-1]
+
+            env_b, f0_b, mask_b, tracks_b, log_b, errs_b = graph(
+                yb, n_true, p_starts, p_nf, f_starts)
+            env_b = np.asarray(env_b)
+            f0_b = np.asarray(f0_b)
+            mask_b = np.asarray(mask_b)
+            tracks_b = np.asarray(tracks_b)
+            log_b = np.asarray(log_b)
+            errs_b = np.asarray(errs_b)
+
+            for j, (idx, y) in enumerate(part):
+                n = len(y)
+                t_true = 1 + n // hop_length
+                env = env_b[j][:, :t_true]
+                knots = _pick_knots(log_b[j][:, :t_true], errs_b[j],
+                                    k_values, sr, n_fft)
+                tr = tracks_b[j][:, :int(ff_true[j])]
+                if tr.shape[1] < t_true:
+                    tr = np.pad(tr, ((0, 0), (0, t_true - tr.shape[1])))
+                else:
+                    tr = tr[:, :t_true]
+                formants = {k + 1: tr[k] for k in range(tr.shape[0])}
+                results[idx] = (env, f0_b[j][:n].astype(np.float64),
+                                mask_b[j][:n].astype(np.float64),
+                                formants, knots)
+    return results

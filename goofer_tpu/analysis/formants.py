@@ -118,11 +118,37 @@ def _poly_roots_dk(coeffs: jnp.ndarray, order: int,
     return jax.lax.fori_loop(0, iters, step, z)
 
 
+def formant_frame_grid(n_samples: int, sr: float, dt: float,
+                       max_formant_hz: float = 5500.0,
+                       window_half_sec: float = 0.025):
+    """Host-side Praat-style centered frame grid in the RESAMPLED domain
+    (the Burg analysis runs at 2*max_formant_hz).  Returns
+    (n_frames, starts, wlen, n_resampled)."""
+    sr2 = min(float(sr), 2.0 * max_formant_hz)
+    n = int(round(n_samples * sr2 / sr)) if sr2 < sr else int(n_samples)
+    wlen = int(round(2.0 * window_half_sec * sr2))
+    wlen = min(wlen, max(32, n))
+    duration = n / sr2
+    n_frames = max(1, int(np.floor((duration - wlen / sr2) / dt)) + 1)
+    t1 = (duration - (n_frames - 1) * dt) / 2.0
+    starts = np.clip(np.round((t1 + dt * np.arange(n_frames)) * sr2
+                              - wlen / 2).astype(np.int64),
+                     0, max(0, n - wlen))
+    return n_frames, starts, wlen, n
+
+
 def formant_graph(y: jnp.ndarray, sr: float, dt: float,
                   max_formants: int = 5, max_formant_hz: float = 5500.0,
-                  window_half_sec: float = 0.025) -> jnp.ndarray:
+                  window_half_sec: float = 0.025,
+                  starts=None) -> jnp.ndarray:
     """Pure-JAX formant tracks (max_formants, n_frames), 0.0 where
-    missing; traceable into a larger analysis graph."""
+    missing; traceable into a larger analysis graph.
+
+    ``starts`` (resampled-domain frame starts, possibly bucket-padded by
+    repeating the last entry) overrides the internally computed grid —
+    the bucketed batch extractor passes the TRUE signal's grid while
+    ``y`` carries trailing zero padding; padded frames produce junk rows
+    the host discards."""
     y = jnp.asarray(y, dtype=jnp.float32)
     y_rs, sr2 = _resample_to(y, float(sr), 2.0 * max_formant_hz)
     n = int(y_rs.shape[0])
@@ -133,12 +159,9 @@ def formant_graph(y: jnp.ndarray, sr: float, dt: float,
 
     wlen = int(round(2.0 * window_half_sec * sr2))
     wlen = min(wlen, max(32, n))
-    duration = n / sr2
-    n_frames = max(1, int(np.floor((duration - wlen / sr2) / dt)) + 1)
-    t1 = (duration - (n_frames - 1) * dt) / 2.0
-    starts = np.clip(np.round((t1 + dt * np.arange(n_frames)) * sr2
-                              - wlen / 2).astype(np.int64),
-                     0, max(0, n - wlen))
+    if starts is None:
+        _, starts, wlen, _ = formant_frame_grid(
+            y.shape[0], sr, dt, max_formant_hz, window_half_sec)
 
     idx = jnp.asarray(starts)[:, None] + jnp.arange(wlen)[None, :]
     frames = y_pe[idx]

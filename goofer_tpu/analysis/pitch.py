@@ -107,12 +107,18 @@ def _candidates(y, sr: float, wlen: int, nfft: int, cfg: PitchConfig,
 
 @functools.partial(jax.jit, static_argnums=(3,))
 def _viterbi(freqs, strengths, unvoiced_strength, cfg: PitchConfig,
-             dt_ratio):
-    """Max-sum path over (K voiced + 1 unvoiced) states per frame."""
+             dt_ratio, valid=None):
+    """Max-sum path over (K voiced + 1 unvoiced) states per frame.
+
+    ``valid`` (F,) bool marks true frames when the arrays carry trailing
+    bucket padding: invalid steps pass delta/state through untouched, so
+    the path over the true frames equals the unpadded solve exactly."""
     k = freqs.shape[1]
     # state arrays: index 0..k-1 voiced, k = unvoiced
     s_all = jnp.concatenate([strengths, unvoiced_strength[:, None]], axis=1)
     f_all = jnp.concatenate([freqs, jnp.zeros_like(freqs[:, :1])], axis=1)
+    if valid is None:
+        valid = jnp.ones((freqs.shape[0],), dtype=bool)
 
     vu_cost = cfg.voiced_unvoiced_cost * dt_ratio
     oj_cost = cfg.octave_jump_cost * dt_ratio
@@ -125,18 +131,20 @@ def _viterbi(freqs, strengths, unvoiced_strength, cfg: PitchConfig,
             jnp.log2(jnp.maximum(f_prev, 1e-6) / jnp.maximum(f_next, 1e-6)))
         return jnp.where(both, jump, jnp.where(pv ^ nv, vu_cost, 0.0))
 
+    ident = jnp.arange(k + 1)
+
     def step(delta_prev, inputs):
-        s_t, f_t, f_prev = inputs
+        s_t, f_t, f_prev, v_t = inputs
         cost = trans_cost(f_prev[:, None], f_t[None, :])   # (K+1, K+1)
         scores = delta_prev[:, None] - cost
-        best_prev = jnp.argmax(scores, axis=0)
-        delta = s_t + jnp.max(scores, axis=0)
+        best_prev = jnp.where(v_t, jnp.argmax(scores, axis=0), ident)
+        delta = jnp.where(v_t, s_t + jnp.max(scores, axis=0), delta_prev)
         return delta, best_prev
 
-    f_prev_seq = jnp.concatenate([f_all[:1], f_all[:-1]], axis=0)
     delta0 = s_all[0]
     deltaT, back = jax.lax.scan(step, delta0,
-                                (s_all[1:], f_all[1:], f_all[:-1]))
+                                (s_all[1:], f_all[1:], f_all[:-1],
+                                 valid[1:]))
 
     last = jnp.argmax(deltaT)
 
@@ -146,7 +154,7 @@ def _viterbi(freqs, strengths, unvoiced_strength, cfg: PitchConfig,
     first, rest = jax.lax.scan(backstep, last, back, reverse=True)
     path = jnp.concatenate([jnp.asarray([first]), rest])
     f0 = jnp.take_along_axis(f_all, path[:, None], axis=1)[:, 0]
-    return f0
+    return jnp.where(valid, f0, 0.0)
 
 
 def pitch_graph(y: jnp.ndarray, sr: float, dt: float,
@@ -179,6 +187,45 @@ def pitch_graph(y: jnp.ndarray, sr: float, dt: float,
     dt_ratio = dt / 0.01
     return _viterbi(freqs, strengths, unvoiced_strength, cfg,
                     jnp.float32(dt_ratio))
+
+
+def pitch_window_len(sr: float, cfg: PitchConfig = PitchConfig()) -> int:
+    """Static analysis window length for this sr/config."""
+    return int(round(cfg.periods_per_window / cfg.f0_min * sr))
+
+
+def pitch_graph_bucketed(y_pad: jnp.ndarray, sr: float, dt: float,
+                         starts, nf_true, cfg: PitchConfig = PitchConfig()
+                         ) -> jnp.ndarray:
+    """Bucket-padded pitch track: ``y_pad`` is a zero-padded waveform,
+    ``starts`` the host-computed frame grid of the TRUE signal padded (by
+    repeating its last entry) to a static frame bucket, ``nf_true`` the
+    traced true frame count.  Returns (F_pad,) f0 with zeros past
+    nf_true; values on the true frames equal the unpadded pitch_graph
+    (the host grid clamps windows inside the true signal, and the Viterbi
+    passes through padded steps untouched)."""
+    y = jnp.asarray(y_pad, dtype=jnp.float32)
+    n = y.shape[0]
+    wlen = min(pitch_window_len(sr, cfg), max(16, n))
+    nfft = 1
+    while nfft < 2 * wlen:
+        nfft *= 2
+    starts = jnp.asarray(starts)
+    f_pad = starts.shape[0]
+
+    freqs, strengths, local_peak = _candidates(
+        y, float(sr), wlen, nfft, cfg, starts)
+
+    global_peak = jnp.maximum(jnp.max(jnp.abs(y)), 1e-12)
+    intensity = local_peak / global_peak
+    unvoiced_strength = cfg.voicing_threshold + jnp.maximum(
+        0.0, 2.0 - (intensity * (1.0 + cfg.voicing_threshold)
+                    / cfg.silence_threshold))
+
+    valid = jnp.arange(f_pad) < nf_true
+    dt_ratio = dt / 0.01
+    return _viterbi(freqs, strengths, unvoiced_strength, cfg,
+                    jnp.float32(dt_ratio), valid)
 
 
 def track_pitch(y, sr: float, dt: float,

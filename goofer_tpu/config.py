@@ -74,3 +74,33 @@ def bucket_overlap(k: int) -> int:
         if k <= b:
             return b
     return PULSE_OVERLAP_BUCKETS[-1]
+
+
+def bucket_len(n: int, base: int = 4096, ratio: float = 1.5,
+               quantum: int = 1024) -> int:
+    """Round a sample count up to a geometric length bucket (~ratio step,
+    quantized), so arbitrary note geometries share a handful of compiled
+    graphs.  Padding costs only masked device compute — the batcher
+    slices outputs back to true extents on device before fetching."""
+    b = base
+    while b < n:
+        b = -(-int(b * ratio) // quantum) * quantum
+    return b
+
+
+def bucket_frames(n_bucket: int, hop: int) -> int:
+    """Envelope-frame bucket derived from a sample bucket: covers any true
+    frame count a note of <= n_bucket samples can produce (+margin), so a
+    (sample bucket, frame bucket) pair never splits a graph signature."""
+    return n_bucket // hop + 8
+
+
+def bucket_batch(b: int) -> int:
+    """Round a note-batch size up to a 1-2-3 series bucket (vmap batch is
+    a static shape; padded rows are sliced off on device before fetch)."""
+    b = int(b)
+    p = 1 << max(0, b.bit_length() - 2)      # largest pow2 with 4p >= ...
+    for cand in (p, 2 * p, 3 * p, 4 * p, 6 * p, 8 * p):
+        if cand >= b:
+            return cand
+    return 8 * p

@@ -83,6 +83,11 @@ class SynthStatic:
     rough_noise_smooth_ms: float = 120.0
     rough_alpha_slew_ms: float = 120.0
     max_overlap: int = config.PULSE_MAX_OVERLAP
+    # bucketed rendering: ``n`` is a padded length bucket and the true
+    # note length rides in as the traced knob ``n_true``; stems are
+    # zeroed past it BEFORE peak normalization, so notes of different
+    # true lengths share one compiled graph with exact normalization
+    masked: bool = False
 
 
 def default_knobs() -> dict:
@@ -114,6 +119,18 @@ def synth_core_impl(st: SynthStatic, env_spec, f0_interp, voicing_mask,
                        formants_array, knobs, key)
 
 
+def _frame_phases(key, n_bins: int, t_frames: int) -> jnp.ndarray:
+    """(n_bins, T) uniform [0, 2pi) phases, each frame drawn from
+    fold_in(key, frame) so draws are invariant to the frame count."""
+
+    def one(f):
+        return jax.random.uniform(
+            jax.random.fold_in(key, f), (n_bins,), dtype=jnp.float32,
+            minval=0.0, maxval=2.0 * np.pi)
+
+    return jax.vmap(one, out_axes=1)(jnp.arange(t_frames))
+
+
 def _synth_body(st: SynthStatic, env_spec, f0_interp, voicing_mask,
                 formants_array, knobs, key):
     sr, n_fft, hop, n = st.sr, st.n_fft, st.hop, st.n
@@ -122,6 +139,25 @@ def _synth_body(st: SynthStatic, env_spec, f0_interp, voicing_mask,
     env_spec = env_spec.astype(jnp.float32)
     f0 = f0_interp.astype(jnp.float32)
     mask = voicing_mask.astype(jnp.float32)
+
+    # Bucketed rendering (st.masked): the graph runs on the padded length
+    # bucket ``n`` while the true note length rides in as the traced knob
+    # ``n_true``.  Reproducing the unpadded graph requires three cuts:
+    #   * excitation is zeroed past n_true, and the stft's right reflect
+    #     pad at the TRUE end is written in explicitly (the reference's
+    #     mag normalization sees mirrored pulses in its last frames —
+    #     dropping them shifts the whole harmonic gain by ~10%);
+    #   * spectral frames past the true frame count are zeroed BEFORE the
+    #     mag reduction and the iSTFTs;
+    #   * stems are zeroed past hop*floor(n_true/hop) — the unpadded
+    #     iSTFT's OLA coverage end, whose remainder it zero-pads.
+    valid_in = valid_out = None
+    n_true_i = None
+    if st.masked:
+        n_true_i = jnp.round(knobs["n_true"]).astype(jnp.int32)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        valid_in = (idx < n_true_i).astype(jnp.float32)
+        valid_out = (idx < hop * (n_true_i // hop)).astype(jnp.float32)
 
     env4breath = gaussian_blur1d(env_spec, 1.75, axis=0)
     f0 = f0 * knobs["pitch_shift"]
@@ -149,12 +185,32 @@ def _synth_body(st: SynthStatic, env_spec, f0_interp, voicing_mask,
             f0_sub = apply_subharm_vibrato(
                 f0_sub, sr, knobs["subharm_vibrato_rate"],
                 knobs["subharm_vibrato_depth"], st.subharm_vibrato_delay)
+        sub_mask = mask * valid_in if st.masked else mask
         pulse = pulse + subharm_pulse_train(
-            f0_sub, sr, mask, list(st.subharm_semitones),
+            f0_sub, sr, sub_mask, list(st.subharm_semitones),
             knobs["subharm_weight"])
+
+    if st.masked:
+        # cut the excitation at the true end and write the reflect pad
+        # the unpadded stft would see there: padded[n_true+k] =
+        # pulse[n_true-2-k].  _bucketize guarantees n >= n_true+n_fft//2.
+        pulse = pulse * valid_in
+        m = n_fft // 2
+        src = jnp.clip(n_true_i - 2 - jnp.arange(m, dtype=jnp.int32),
+                       0, n - 1)
+        pulse = jax.lax.dynamic_update_slice(
+            pulse, jnp.take(pulse, src), (n_true_i,))
 
     S_harm = stft(pulse, n_fft, hop)
     t_frames = S_harm.shape[1]
+
+    frame_valid = None
+    if st.masked:
+        # true frame count of the unpadded stft: 1 + n_true // hop
+        tf_true = 1 + n_true_i // hop
+        frame_valid = (jnp.arange(t_frames, dtype=jnp.int32)
+                       < tf_true).astype(jnp.float32)[None, :]
+        S_harm = S_harm * frame_valid
 
     freqs = jnp.asarray(rfft_freqs(sr, n_fft))          # (n_bins, 1)
     f0_frames = match_env_frames(f0[None, ::hop], t_frames)[0]
@@ -181,10 +237,14 @@ def _synth_body(st: SynthStatic, env_spec, f0_interp, voicing_mask,
     harmonic = istft(S_harm, hop, length=n)
 
     env_noise = match_env_frames(env4breath, t_frames)
-    phi = jax.random.uniform(k_phase, env_noise.shape, dtype=jnp.float32,
-                             minval=0.0, maxval=2.0 * np.pi)
+    # random phases keyed per FRAME (fold_in(key, frame)): frame f's draw
+    # is independent of the total frame count, so a bucket-padded render
+    # produces the same noise as the unpadded graph on the true frames
+    phi = _frame_phases(k_phase, env_noise.shape[0], t_frames)
     U = jax.lax.complex(jnp.cos(phi), jnp.sin(phi))
     S_uv = U * env_noise
+    if st.masked:
+        S_uv = S_uv * frame_valid
     S_breath = S_uv * hp_mask
 
     if st.apply_brightness:
@@ -211,6 +271,11 @@ def _synth_body(st: SynthStatic, env_spec, f0_interp, voicing_mask,
         harmonic = harmonic * (1.0 + (hj - 1.0) * vj_mask)
         aper_bre = aper_bre * (1.0 + (bj - 1.0) * vj_mask)
 
+    if st.masked:
+        harmonic = harmonic * valid_out
+        aper_uv = aper_uv * valid_out
+        aper_bre = aper_bre * valid_out
+
     combined = harmonic + aper_uv + aper_bre
 
     if st.roughness_on:
@@ -221,6 +286,8 @@ def _synth_body(st: SynthStatic, env_spec, f0_interp, voicing_mask,
             noise_amp=st.rough_noise_amp,
             noise_smooth_ms=st.rough_noise_smooth_ms,
             alpha_slew_ms=st.rough_alpha_slew_ms)
+        if st.masked:
+            harmonic_rough = harmonic_rough * valid_out
         combined = harmonic_rough + aper_uv + aper_bre
 
     norm_amt = jnp.clip(knobs["normalize"], 0.0, 1.0)

@@ -1,13 +1,21 @@
 """Folder-mode batch feature extraction.
 
 The reference parallelizes over files with a CPU thread pool
-(ref: SillySampler.py:211-240); here each file is one device dispatch and
-the host pipelines I/O.  A `.goofy` next to the audio file short-circuits
-the work — the extract-once cache doubles as the checkpoint/resume story.
+(ref: SillySampler.py:211-240).  The TPU formulation goes further:
+decode I/O runs on a host thread pool while the device computes, and the
+analysis itself is BATCHED — files bucket by padded length and each
+bucket runs as vmapped dispatches of one compiled analysis graph
+(analysis/features.py:extract_features_batch), so a voicebank of
+arbitrary file lengths extracts with a handful of compiles.
+
+A `.goofy` next to the audio file short-circuits the work — the
+extract-once cache doubles as the checkpoint/resume story.
 """
 from __future__ import annotations
 
 import logging
+import os
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 from goofer_tpu.utils.audio_io import is_audio_file, read_wav_mono
@@ -37,14 +45,76 @@ def process_file(audio_file: Path, n_fft: int = 1024,
         return False
 
 
+def _feat_path(audio_file: Path) -> Path:
+    return audio_file.with_name(f"{audio_file.stem}_features.goofy")
+
+
 def extract_features_recursive(input_path, n_fft: int = 1024,
                                hop: int = 256) -> int:
-    """Recursively extract features for every audio file under a path."""
+    """Recursively extract features for every audio file under a path.
+
+    Decode and save run on a thread pool (the reference's only real
+    parallelism, ref: SillySampler.py:235-238); analysis runs as
+    length-bucketed vmapped device dispatches."""
+    from goofer_tpu.analysis.features import extract_features_batch
+    from goofer_tpu.io.goofy import save_features
+
     input_path = Path(input_path)
     all_files = (input_path.rglob("*") if input_path.is_dir()
                  else [input_path])
     audio_files = [f for f in all_files if f.is_file() and is_audio_file(f)]
+    todo = []
     for f in audio_files:
-        process_file(f, n_fft, hop)
+        if _feat_path(f).exists():
+            log.info("[SKIP] %s already exists", _feat_path(f).name)
+        else:
+            todo.append(f)
+    if not todo:
+        log.info("[DONE] Extracted features from %d files.",
+                 len(audio_files))
+        return len(audio_files)
+
+    workers = max(2, os.cpu_count() or 2)
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        def read_one(f):
+            try:
+                return f, read_wav_mono(f)
+            except Exception as e:
+                log.error("[ERROR] Failed to read %s: %s", f.name, e)
+                return f, None
+
+        decoded = [r for r in pool.map(read_one, todo) if r[1] is not None]
+
+        # group by sample rate; each group batches through the device
+        by_sr: dict = {}
+        for f, (y, sr) in decoded:
+            by_sr.setdefault(int(sr), []).append((f, y))
+
+        writes = []
+        for sr, group in by_sr.items():
+            files = [f for f, _ in group]
+            ys = [y for _, y in group]
+            for f in files:
+                log.info("[EXTRACT] %s", f)
+            try:
+                results = extract_features_batch(ys, sr, n_fft=n_fft,
+                                                 hop_length=hop)
+            except Exception:
+                log.exception("[ERROR] Batched extraction failed for "
+                              "sr=%d group; falling back per-file", sr)
+                for f in files:
+                    process_file(f, n_fft, hop)
+                continue
+            for f, y, res in zip(files, ys, results):
+                env, f0i, vmask, forms, knots = res
+                writes.append(pool.submit(
+                    save_features, _feat_path(f), knots, f0i, vmask,
+                    forms, sr, len(y)))
+        for w in writes:
+            try:
+                w.result()
+            except Exception as e:  # pragma: no cover
+                log.error("[ERROR] Failed to save features: %s", e)
+
     log.info("[DONE] Extracted features from %d files.", len(audio_files))
     return len(audio_files)

@@ -83,11 +83,29 @@ def _batched_core(rs, axes: tuple, pcm16: bool = False):
     return fn
 
 
+# When a phrase has more distinct note geometries than this, 'auto'
+# bucketing kicks in: padded-length buckets trade ~25-50% masked device
+# compute for a bounded compile count.  Phrases of repeating geometry
+# (the common quantized-UST case) keep exact shapes and zero padding.
+AUTO_BUCKET_GEOMETRIES = 4
+
+
+def _shape_key(pl: "_Planned") -> tuple:
+    return tuple(np.asarray(pl.arrays[k]).shape for k in ARRAY_ORDER)
+
+
 def plan_phrase(notes, n_fft: int = config.SAMPLER_N_FFT,
-                hop: int = config.SAMPLER_HOP):
+                hop: int = config.SAMPLER_HOP,
+                bucket: bool | str = "auto"):
     """Host-plan every note (features acquired once per source file, cut
-    slices / looped tracks / pitch curves memoized across notes)."""
+    slices / looped tracks / pitch curves memoized across notes).
+
+    ``bucket=True`` pads note geometry to shared length buckets so a
+    phrase of arbitrary note lengths compiles only a handful of render
+    graphs (resampler._bucketize); ``"auto"`` (default) buckets only when
+    the phrase has more than AUTO_BUCKET_GEOMETRIES distinct geometries."""
     from goofer_tpu.io.goofy import formants_to_int_keys
+    from goofer_tpu.sampler.resampler import _bucketize
 
     feature_cache: dict = {}
     prep_cache: dict = {}
@@ -115,36 +133,49 @@ def plan_phrase(notes, n_fft: int = config.SAMPLER_N_FFT,
                                         forms_use, sr, ylen,
                                         cache=prep_cache)
         planned.append(_Planned(i, rs, arrays, scalars))
+
+    if bucket == "auto":
+        bucket = len({(pl.rs, _shape_key(pl))
+                      for pl in planned}) > AUTO_BUCKET_GEOMETRIES
+    if bucket:
+        for pl in planned:
+            pl.rs, pl.arrays = _bucketize(pl.rs, pl.arrays, prep_cache)
     return planned, feature_cache
 
 
 def render_phrase(notes, n_fft: int = config.SAMPLER_N_FFT,
                   hop: int = config.SAMPLER_HOP, seed: int = 0,
-                  pcm16: bool = False):
+                  pcm16: bool = False, bucket: bool | str = "auto"):
     """Render a list of NoteSpec; returns list of waveforms in the input
     order.  Notes sharing a graph signature render as one vmapped
     dispatch; all dispatches are issued asynchronously before any result
     is fetched, so host<->device transfer overlaps device compute.
 
+    With ``bucket`` (default "auto", see plan_phrase), note geometry AND
+    the vmap batch size pad to shared buckets, so arbitrary phrases reuse
+    a handful of compiled graphs; outputs are sliced back to true extents
+    on device before fetching.
+
     ``pcm16=True`` quantizes to int16 PCM on device — the actual payload
     of the output WAVs — halving device->host transfer."""
-    planned, _ = plan_phrase(notes, n_fft, hop)
+    planned, _ = plan_phrase(notes, n_fft, hop, bucket=bucket)
 
     groups: dict = {}
     for pl in planned:
-        shape_key = tuple(np.asarray(pl.arrays[k]).shape
-                          for k in ARRAY_ORDER)
-        groups.setdefault((pl.rs, shape_key), []).append(pl)
+        groups.setdefault((pl.rs, _shape_key(pl)), []).append(pl)
 
     outs: list = [None] * len(planned)
     pending = []
-    for (rs, _shape_key), members in groups.items():
+    for (rs, _sk), members in groups.items():
+        b_true = len(members)
+        b_pad = config.bucket_batch(b_true) if rs.masked else b_true
         # per-note threefry keys fabricated on host: (seed, note index) —
         # distinct uint32 pairs are independent keys, and this avoids two
         # device round-trips (fold_in + split) per group
+        idx = [m.index for m in members] + [0] * (b_pad - b_true)
         keys = np.stack([
-            np.full(len(members), seed & 0xFFFFFFFF, dtype=np.uint32),
-            np.asarray([m.index for m in members], dtype=np.uint32),
+            np.full(b_pad, seed & 0xFFFFFFFF, dtype=np.uint32),
+            np.asarray(idx, dtype=np.uint32),
         ], axis=1)
         # arrays identical (by object) across the group ride in_axes=None;
         # numpy arrays pass straight to jit (one transfer at dispatch)
@@ -157,26 +188,37 @@ def render_phrase(notes, n_fft: int = config.SAMPLER_N_FFT,
                 stacked.append(np.asarray(first))
             else:
                 axes.append(0)
-                stacked.append(np.stack(
-                    [np.asarray(m.arrays[k]) for m in members]))
+                rows = [np.asarray(m.arrays[k]) for m in members]
+                rows += [rows[-1]] * (b_pad - b_true)
+                stacked.append(np.stack(rows))
         base = default_scalars()
         sc = {}
         for k, dflt in base.items():
             if np.isscalar(dflt):
-                sc[k] = np.fromiter(
-                    (m.scalars.get(k, dflt) for m in members),
-                    dtype=np.float32, count=len(members))
+                vals = np.empty(b_pad, dtype=np.float32)
+                for j, m in enumerate(members):
+                    vals[j] = m.scalars.get(k, dflt)
+                vals[b_true:] = vals[b_true - 1]
+                sc[k] = vals
             else:
-                sc[k] = np.stack([np.asarray(m.scalars.get(k, dflt),
-                                             dtype=np.float32)
-                                  for m in members])
+                rows = [np.asarray(m.scalars.get(k, dflt), dtype=np.float32)
+                        for m in members]
+                rows += [rows[-1]] * (b_pad - b_true)
+                sc[k] = np.stack(rows)
         fn = _batched_core(rs, tuple(axes), pcm16)
-        pending.append((members, fn(*stacked, sc, keys)))
+        result = fn(*stacked, sc, keys)
+        # slice padded rows AND padded tail columns off on device, so
+        # bucket padding costs no device->host transfer
+        max_n = max(int(m.scalars.get("n_true") or rs.n) for m in members)
+        if b_pad > b_true or max_n < rs.n:
+            result = result[:b_true, :max_n]
+        pending.append((members, result))
 
     for members, result in pending:
         result = np.asarray(result)          # blocks on this group only
         for j, m in enumerate(members):
-            outs[m.index] = result[j]
+            n_true = int(m.scalars.get("n_true") or result.shape[1])
+            outs[m.index] = result[j][:n_true]
     return outs
 
 

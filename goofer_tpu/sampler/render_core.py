@@ -79,6 +79,10 @@ class RenderStatic:
     # instead of paying the worst case everywhere
     max_overlap: int = config.PULSE_MAX_OVERLAP
     growl_max_overlap: int = config.PULSE_MAX_OVERLAP
+    # bucketed geometry: n / t_env are padded buckets; the true note
+    # length arrives as the traced scalar ``n_true`` and padding is
+    # masked out of every normalization and the final output
+    masked: bool = False
 
 
 def default_scalars() -> dict:
@@ -97,6 +101,7 @@ def default_scalars() -> dict:
         "pd_ref": 1.0,
         "tick_dt_samp": 1.0,
         "n_ticks": 1.0,
+        "n_true": 0.0,
         "fry_vh": 50.0,
         "subharm_gain": 0.0,
         "growl_mix": 0.0,
@@ -238,6 +243,7 @@ def render_note_core(rs: RenderStatic,
         warp_formants=rs.warp_formants,
         formant_shift_on=rs.formant_shift_on,
         max_overlap=rs.max_overlap,
+        masked=rs.masked,
     )
     knobs = default_knobs()
     knobs.update({
@@ -251,6 +257,8 @@ def render_note_core(rs: RenderStatic,
         "subharm_vibrato_depth": 3.0,
         "normalize": sc["normalize"],
     })
+    if rs.masked:
+        knobs["n_true"] = sc["n_true"]
     knobs = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in knobs.items()}
     _, harmonic, aper_uv, aper_bre = synth_core_impl(
         st_main, env_new, f0_new, mask_new, tracks, knobs, k_main)
@@ -260,6 +268,7 @@ def render_note_core(rs: RenderStatic,
         warp_formants=rs.warp_formants,
         formant_shift_on=rs.formant_shift_on,
         max_overlap=rs.max_overlap,
+        masked=rs.masked,
     )
     layer_knobs = dict(knobs)
     for k in ("f0_jitter_strength", "volume_jitter_strength_harm",
@@ -286,6 +295,7 @@ def render_note_core(rs: RenderStatic,
             warp_formants=rs.warp_formants,
             formant_shift_on=rs.formant_shift_on,
             max_overlap=rs.growl_max_overlap,
+            masked=rs.masked,
         )
         _, harm_gw, _, _ = synth_core_impl(
             st_growl, env_new, f0_new * (0.5 * 2.0 ** noise), mask_new,
@@ -351,6 +361,7 @@ def render_note_core(rs: RenderStatic,
             formant_shift_on=rs.formant_shift_on,
             noise_transition_smoothness=1.0,
             max_overlap=rs.max_overlap,
+            masked=rs.masked,
         )
         ap_knobs = dict(layer_knobs)
         ap_knobs["uv_strength"] = jnp.float32(1.0)
@@ -363,6 +374,10 @@ def render_note_core(rs: RenderStatic,
 
     if rs.pd_on:
         out = out * dyn_gain
+
+    if rs.masked:
+        out = out * (jnp.arange(n, dtype=jnp.float32)
+                     < sc["n_true"]).astype(jnp.float32)
 
     return out
 

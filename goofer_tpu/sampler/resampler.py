@@ -116,6 +116,87 @@ def sanitize_formant_track(track: np.ndarray, t: int, sr: int,
     return x
 
 
+def _pad_memo(memo: dict, arr: np.ndarray, target: int, mode: str,
+              axis: int = -1) -> np.ndarray:
+    """Pad ``arr`` to ``target`` along ``axis``, memoized on the source
+    object's identity so arrays shared across notes pad to a SHARED
+    padded object (preserving the phrase batcher's in_axes=None dedupe)."""
+    cur = arr.shape[axis]
+    if cur >= target:
+        return arr
+    key = ("pad", id(arr), target, mode, axis)
+    out = memo.get(key)
+    if out is None:
+        width = [(0, 0)] * arr.ndim
+        width[axis] = (0, target - cur)
+        if mode == "zero":
+            out = np.pad(arr, width)
+        else:
+            out = np.pad(arr, width, mode="edge")
+        memo[key] = out
+    return out
+
+
+def _bucketize(rs: "RenderStatic", arrays: dict, memo: dict):
+    """Pad note geometry to shared length buckets (SURVEY §7 hard part 3).
+
+    Sample counts round up to a ~1.25-ratio geometric bucket
+    (config.bucket_len); frame counts derive from the sample bucket so a
+    bucket pair never splits a graph signature.  Plan/position arrays pad
+    by repeating their last entry (the padded tail replays the final true
+    frame/sample), features pad edge, fry weights pad zero.  The render
+    graph (RenderStatic.masked) zeroes everything past the traced
+    ``n_true`` before any normalization, so padded output is exact over
+    the true region up to sub-sample boundary smoothing of the
+    voiced/unvoiced crossfade.  The host slices results back to n_true.
+    """
+    from dataclasses import replace
+
+    hop = rs.hop
+    # n_fft//2 headroom: the masked synth writes the true-end stft reflect
+    # pad into the padded region past n_true
+    n_b = config.bucket_len(rs.n + rs.n_fft // 2)
+    te_b = config.bucket_frames(n_b, hop)
+    if rs.t_env > te_b:                       # pathological geometry
+        te_b = config.bucket_frames(config.bucket_len(rs.t_env * hop), hop)
+
+    def fbucket(frames: int) -> int:
+        return config.bucket_frames(config.bucket_len(frames * hop), hop)
+
+    a = dict(arrays)
+    a["env_cut"] = _pad_memo(memo, a["env_cut"],
+                             fbucket(a["env_cut"].shape[1]), "edge", axis=1)
+    s_b = config.bucket_len(max(a["f0_cut"].shape[0],
+                                a["mask_cut"].shape[0]))
+    a["f0_cut"] = _pad_memo(memo, a["f0_cut"], s_b, "edge")
+    a["mask_cut"] = _pad_memo(memo, a["mask_cut"], s_b, "edge")
+
+    # env plan: post-velocity env frames must land on te_b; with velocity
+    # the plan lives in the pre-warp domain and buckets independently
+    ep_b = fbucket(len(a["env_pos0"])) if rs.vel_on else te_b
+    for k in ("env_pos0", "env_pos1", "env_w"):
+        a[k] = _pad_memo(memo, a[k], ep_b, "edge")
+    if rs.vel_on:
+        a["samp_pos"] = _pad_memo(memo, a["samp_pos"],
+                                  config.bucket_len(len(a["samp_pos"])),
+                                  "edge")
+        a["vel_env_pos"] = _pad_memo(memo, a["vel_env_pos"], te_b, "edge")
+        a["vel_samp_pos"] = _pad_memo(memo, a["vel_samp_pos"], n_b, "edge")
+    else:
+        a["samp_pos"] = _pad_memo(memo, a["samp_pos"], n_b, "edge")
+
+    a["tracks"] = _pad_memo(memo, a["tracks"], te_b, "edge", axis=1)
+    a["fry_frame_w"] = _pad_memo(memo, a["fry_frame_w"], te_b, "zero")
+    if rs.fry_on:
+        a["fry_base_w"] = _pad_memo(memo, a["fry_base_w"], n_b, "zero")
+    a["fry_mask"] = _pad_memo(memo, a["fry_mask"], n_b, "zero")
+    if rs.pd_on:
+        a["pd_bend"] = _pad_memo(memo, a["pd_bend"], n_b, "edge")
+
+    rs_b = replace(rs, n=n_b, t_env=te_b, masked=True)
+    return rs_b, a
+
+
 def _feature_path(in_file: Path) -> Path:
     return in_file.with_name(f"{in_file.stem}_features.goofy")
 
@@ -292,7 +373,8 @@ class GooferResampler:
 
     # ------------------------------------------------------------------
 
-    def prepare(self, env, f0i, vmask, forms, sr, ylen, cache=None):
+    def prepare(self, env, f0i, vmask, forms, sr, ylen, cache=None,
+                bucket: bool = False):
         """Host planning: cut geometry, loop/velocity index plans, formant
         sanitize, pitch curve, fry weights.  Returns (RenderStatic,
         arrays, scalars) for render_note / the phrase batcher.
@@ -300,7 +382,13 @@ class GooferResampler:
         ``cache`` (optional dict, shared across the notes of a phrase)
         memoizes cut slices, looped formant tracks and pitch curves so
         repeated notes contribute identical array OBJECTS — the phrase
-        batcher then passes them unbatched (vmap in_axes=None)."""
+        batcher then passes them unbatched (vmap in_axes=None).
+
+        ``bucket=True`` pads every geometry-dependent array to a length
+        bucket and marks the render masked (scalars carry ``n_true``), so
+        arbitrary note geometries share a handful of compiled graphs —
+        output is exact over the true region up to boundary smoothing
+        (see _bucketize)."""
         p = self.params
         hop = self.hop
         sample_len_sec = ylen / sr
@@ -565,7 +653,10 @@ class GooferResampler:
             "unvoiced_mix": p.unvoiced_mix,
             "volume": p.volume,
             "aperiodic_mix": p.aperiodic_mix,
+            "n_true": float(n_total),
         }
+        if bucket:
+            rs, arrays = _bucketize(rs, arrays, memo)
         return rs, arrays, scalars
 
     # ------------------------------------------------------------------

