@@ -13,6 +13,8 @@ from goofer_tpu import config
 from goofer_tpu.analysis import features as F
 from goofer_tpu.utils.audio_io import write_wav
 
+pytestmark = pytest.mark.slow
+
 SR = 44100
 
 

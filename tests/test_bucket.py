@@ -70,6 +70,7 @@ def test_bucket_series():
     assert config.bucket_batch(64) == 64
 
 
+@pytest.mark.slow
 def test_bucketed_matches_exact(src_wav):
     """Same seed, bucketed vs unpadded graph: identical up to window-tail
     boundary effects in the last ~n_fft samples (frame-keyed noise phases
@@ -89,6 +90,7 @@ def test_bucketed_matches_exact(src_wav):
         assert lsd_db(np.asarray(o), exact, SR) <= 0.75
 
 
+@pytest.mark.slow
 def test_twenty_distinct_lengths_three_graphs(src_wav):
     """20 notes with 20 distinct lengths must reuse <= 3 compiled render
     graphs (VERDICT r1 'done' criterion)."""
@@ -106,6 +108,7 @@ def test_twenty_distinct_lengths_three_graphs(src_wav):
         assert np.abs(np.asarray(o)).max() > 1e-3
 
 
+@pytest.mark.slow
 def test_bucketed_velocity_and_flags(src_wav):
     """Velocity warp + post-fx flags run through the bucketed path."""
     notes = [

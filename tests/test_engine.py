@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -135,6 +136,7 @@ def test_pitch_shift_knob_shifts_f0():
     assert abs(peak_lag - period) <= 2
 
 
+@pytest.mark.slow
 def test_subharm_and_texture_paths_run():
     n = 12000
     env, f0, mask = _features(n)

@@ -121,6 +121,7 @@ def test_resample_2d():
 
 # ----------------------------------------------------------------------- IIR
 
+@pytest.mark.slow
 def test_one_pole_highpass():
     x = RNG.standard_normal(3000).astype(np.float32)
     got = np.asarray(scan_iir.one_pole_highpass(jnp.asarray(x), 44100, 300.0))
@@ -130,6 +131,7 @@ def test_one_pole_highpass():
 
 @pytest.mark.parametrize("btype,order", [("lowpass", 4), ("highpass", 6),
                                          ("lowpass", 1)])
+@pytest.mark.slow
 def test_dynamic_butter(btype, order):
     n = 2000
     x = RNG.standard_normal(n).astype(np.float32)
@@ -198,12 +200,14 @@ def test_pulse_train_constant_f0_periodicity():
     assert abs(peak_lag - period) <= 1
 
 
+@pytest.mark.slow
 def test_pulse_train_silence_has_no_pulses():
     f0 = np.zeros(5000, dtype=np.float32)
     y = np.asarray(pulse.pulse_train(jnp.asarray(f0), 44100))
     assert np.all(y == 0)
 
 
+@pytest.mark.slow
 def test_subharm_pulses_match_oracle():
     sr = 44100
     n = 15000

@@ -12,6 +12,8 @@ from goofer_tpu.ops.pulse import (
 from goofer_tpu import config
 from tests import oracles as o
 
+pytestmark = pytest.mark.slow
+
 
 def _prep(f0, sr):
     f0 = jnp.asarray(f0, dtype=jnp.float32)

@@ -1,5 +1,6 @@
 """Batched + sharded rendering on the virtual 8-device CPU mesh."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -31,6 +32,7 @@ def _note(n, f0_hz):
     return env, f0, mask, tracks
 
 
+@pytest.mark.slow
 def test_vmap_batch_matches_single():
     n = 6000
     notes = [_note(n, f) for f in (180.0, 220.0, 300.0)]
@@ -54,6 +56,7 @@ def test_vmap_batch_matches_single():
         assert num / den > 0.99, (i, num / den)
 
 
+@pytest.mark.slow
 def test_sharded_render_runs_on_mesh():
     mesh = make_mesh(8, tp=2)
     assert mesh.devices.shape == (4, 2)

@@ -120,6 +120,7 @@ def test_formant_and_envelope_flags(voicebank):
     assert abs(f_est - 261.63) / 261.63 < 0.03
 
 
+@pytest.mark.slow
 def test_texture_flags_layers(voicebank):
     out = voicebank / "out_texture.wav"
     GooferResampler(voicebank / "a.wav", out, "C4", 100,
@@ -129,6 +130,7 @@ def test_texture_flags_layers(voicebank):
     assert np.all(np.isfinite(y)) and np.max(np.abs(y)) > 0.01
 
 
+@pytest.mark.slow
 def test_growl_fry_tension_aperiodic(voicebank):
     out = voicebank / "out_gft.wav"
     GooferResampler(voicebank / "a.wav", out, "C4", 100,

@@ -1,0 +1,99 @@
+"""Generate golden parity artifacts for the 5 BASELINE configs.
+
+Two modes:
+
+* ``--mode repo`` (default): renders through THIS repo's production
+  pipeline on the virtual CPU platform with a pinned seed, freezing
+  today's validated behavior into committed artifacts
+  (tests/golden/repo/).  Guards against regression drift; op-level
+  reference parity is covered separately by the restated-oracle tests
+  (see PARITY.md).
+* ``--mode reference``: renders the SAME configs through the true
+  upstream resampler (``python SillySampler.py`` with its 13-arg CLI).
+  Requires an environment with the reference's deps (numba,
+  praat-parselmouth, soundfile) — not available in this image.  Outputs
+  land in tests/golden/ref/, which the golden tests prefer when present.
+
+Artifacts per config: out_<name>.wav.  Plus the deterministic source
+sample (src.wav) and its .goofy.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+# (name, pitch, velocity, flags, offset, length, consonant, cutoff,
+#  volume, modulation, tempo, pitch_string) — the 5 BASELINE.json configs
+CONFIGS = [
+    ("neutral", "C4", 100, "", 0, 500, 60, 0, 100, 0, "!120", "AA"),
+    ("loops_l0", "D4", 100, "t30L0", 0, 900, 60, 0, 100, 0, "!120", "AA"),
+    ("loops_l1", "D4", 100, "t-25L1", 0, 900, 60, 0, 100, 0, "!120", "AA"),
+    ("loops_l2_rev", "D4", 100, "L2R", 0, 900, 60, 0, 100, 0, "!120", "AA"),
+    ("formant_chain", "C4", 100, "g-15fa8fb-6fw25br30es20", 0, 500, 60,
+     0, 100, 0, "!120", "AA"),
+    ("texture", "E4", 100, "V70B45U-30sh40sr35sd25su40sg20", 0, 500, 60,
+     0, 100, 0, "!120", "AA"),
+    ("fry_full", "A3", 100, "vf35vh55vl30st-25sa25", 0, 700, 60,
+     0, 100, 0, "!120", "ABAC#3#AD"),
+]
+
+
+def make_source(path: Path, sr: int = 44100) -> None:
+    import numpy as np
+
+    from goofer_tpu.utils.audio_io import write_wav
+
+    n = int(0.6 * sr)
+    t = np.arange(n) / sr
+    f0 = 220.0 * (1.0 + 0.01 * np.sin(2 * np.pi * 5.0 * t))
+    phase = np.cumsum(f0 / sr)
+    y = 0.35 * (2 * (phase % 1.0) - 1.0)
+    y = np.convolve(y, np.ones(8) / 8.0, mode="same")
+    rng = np.random.default_rng(0)
+    y[: n // 10] = 0.05 * rng.standard_normal(n // 10)
+    write_wav(path, y.astype(np.float32), sr)
+
+
+def gen_repo(out_dir: Path) -> None:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    from goofer_tpu.sampler.resampler import GooferResampler
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    src = out_dir / "src.wav"
+    make_source(src)
+    for name, *args in CONFIGS:
+        out = out_dir / f"out_{name}.wav"
+        GooferResampler(str(src), str(out), *args, seed=0)
+        print(f"[golden] {out.name}")
+    print(f"[golden] {out_dir / 'src_features.goofy'}")
+
+
+def gen_reference(out_dir: Path, reference: Path) -> None:
+    out_dir.mkdir(parents=True, exist_ok=True)
+    src = out_dir / "src.wav"
+    make_source(src)
+    sampler = reference / "SillySampler.py"
+    for name, *args in CONFIGS:
+        out = out_dir / f"out_{name}.wav"
+        argv = [sys.executable, str(sampler), str(src), str(out)] + \
+            [str(a) for a in args]
+        subprocess.run(argv, check=True)
+        print(f"[golden-ref] {out.name}")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=("repo", "reference"), default="repo")
+    ap.add_argument("--reference", default="/root/reference")
+    a = ap.parse_args()
+    if a.mode == "repo":
+        gen_repo(REPO / "tests" / "golden" / "repo")
+    else:
+        gen_reference(REPO / "tests" / "golden" / "ref",
+                      Path(a.reference))
