@@ -29,9 +29,14 @@ log = logging.getLogger("goofer_tpu")
 def _preview_synthesis(env_dense, f0, mask, forms, sr,
                        n_fft=1024, hop=256) -> np.ndarray:
     """Render a preview of (a span of) the features at 0.5 gain
-    (ref: SillyEditor.py:555-563)."""
+    (ref: SillyEditor.py:555-563).
+
+    The span length is bucketed through the masked engine graph, so
+    interactive previews of different visible spans reuse a handful of
+    compiled graphs instead of compiling one per span length."""
     import jax.numpy as jnp
 
+    from goofer_tpu import config
     from goofer_tpu.engine.synth import SynthStatic, synthesize
 
     n = len(mask)
@@ -42,11 +47,27 @@ def _preview_synthesis(env_dense, f0, mask, forms, sr,
         t = env_dense.shape[1]
         tracks = (np.pad(tracks, ((0, 0), (0, max(0, t - tracks.shape[1]))),
                          mode="edge")[:, :t])
-    st = SynthStatic(sr=sr, n_fft=n_fft, hop=hop, n=n)
+
+    n_b = config.bucket_len(n + n_fft // 2)
+    te_b = config.bucket_frames(n_b, hop)
+    t = env_dense.shape[1]
+
+    def pad_t(x2d):
+        return np.pad(np.asarray(x2d, dtype=np.float32),
+                      ((0, 0), (0, max(0, te_b - t))), mode="edge")
+
+    def pad_n(x1d):
+        return np.pad(np.asarray(x1d, dtype=np.float32),
+                      (0, n_b - n), mode="edge")
+
+    st = SynthStatic(sr=sr, n_fft=n_fft, hop=hop, n=n_b, masked=True)
     _, harm, uv, bre = synthesize(
-        st, env_dense, np.asarray(mask) * np.maximum(np.asarray(f0), 0.0),
-        mask, jnp.asarray(tracks))
-    return (np.asarray(harm) + np.asarray(uv) + np.asarray(bre)) * 0.5
+        st, pad_t(env_dense),
+        pad_n(np.asarray(mask) * np.maximum(np.asarray(f0), 0.0)),
+        pad_n(mask), jnp.asarray(pad_t(tracks)),
+        knobs={"n_true": float(n)})
+    out = (np.asarray(harm) + np.asarray(uv) + np.asarray(bre)) * 0.5
+    return out[:n]
 
 
 class VoicingEditorUI:

@@ -4,4 +4,5 @@ from goofer_tpu.parallel.batch import (
     pad_note_batch,
     render_batch,
     render_batch_sharded,
+    render_notes_sharded,
 )

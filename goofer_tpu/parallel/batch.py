@@ -128,3 +128,41 @@ def render_batch_sharded(mesh, st: SynthStatic, knots, f0, mask, tracks,
     with mesh:
         return _decode_and_render_core(st, sr, n_fft, n_bins, knots, f0,
                                        mask, tracks, knobs_full, keys)
+
+
+_sharded_render_cache: dict = {}
+
+
+def render_notes_sharded(mesh, rs, axes: tuple, arrays: list,
+                         scalars: dict, keys, batch_axes=("dp", "tp")):
+    """Shard one phrase group's FULL fused note render (the flag chain +
+    all synthesis layers, sampler/render_core.py) over a device mesh.
+
+    Each note render is independent (SURVEY §2.6), so the note batch
+    shards over every mesh axis in ``batch_axes`` and GSPMD needs no
+    collectives — this is the multi-chip production step for offline UST
+    rendering.  ``axes`` marks per-ARRAY_ORDER entries batched (0) or
+    shared (None, replicated); the batch size must divide the mesh size.
+    """
+    from goofer_tpu.sampler.render_core import render_note_core
+
+    key_fn = (rs, axes)
+    fn = _sharded_render_cache.get(key_fn)
+    if fn is None:
+        core = partial(render_note_core, rs)
+        fn = jax.jit(jax.vmap(core, in_axes=tuple(axes) + (0, 0)))
+        _sharded_render_cache[key_fn] = fn
+
+    batch_spec = P(tuple(a for a in batch_axes if a in mesh.axis_names))
+
+    def shard(x, batched):
+        x = jnp.asarray(x)
+        spec = (P(*(batch_spec + (None,) * (x.ndim - 1)))
+                if batched else P(*((None,) * x.ndim)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    args = [shard(a, ax == 0) for a, ax in zip(arrays, axes)]
+    sc = {k: shard(v, True) for k, v in scalars.items()}
+    keys = shard(keys, True)
+    with mesh:
+        return fn(*args, sc, keys)

@@ -150,3 +150,35 @@ def test_split_arguments():
     assert len(args) == 13
     with pytest.raises(ValueError):
         split_arguments("no wavs here 1 2 3 4 5 6 7 8 9 10 11")
+
+
+def test_preview_synthesis_buckets_span_lengths():
+    """Editor preview reuses one engine graph for nearby span lengths
+    (interactive path must not compile per visible-span length)."""
+    import time
+
+    import numpy as np
+
+    from goofer_tpu.editor.gui import _preview_synthesis
+
+    sr = 44100
+
+    def feats(n):
+        tf = 1 + n // 256
+        env = (np.exp(-np.linspace(0, 5, 513))[:, None]
+               * np.ones((1, tf)) + 1e-5).astype(np.float32)
+        f0 = np.full(n, 220.0, np.float32)
+        mask = np.ones(n, np.float32)
+        mask[: n // 8] = 0
+        return env, f0, mask, {1: np.full(tf, 700.0)}
+
+    t0 = time.perf_counter()
+    o1 = _preview_synthesis(*feats(19000), sr)
+    t1 = time.perf_counter()
+    o2 = _preview_synthesis(*feats(20011), sr)   # same length bucket
+    t2 = time.perf_counter()
+    assert len(o1) == 19000 and len(o2) == 20011
+    assert np.isfinite(o1).all() and np.isfinite(o2).all()
+    assert np.abs(o1).max() > 1e-4
+    # second distinct span must reuse the compiled bucket graph
+    assert (t2 - t1) < (t1 - t0) / 3

@@ -90,3 +90,51 @@ def test_sharded_render_runs_on_mesh():
     arr = np.asarray(mix)
     assert np.all(np.isfinite(arr))
     assert np.max(np.abs(arr)) > 0
+
+
+@pytest.mark.slow
+def test_full_render_sharded_matches_single():
+    """The FULL fused note render sharded over the mesh equals the
+    single-device vmapped dispatch (note renders are independent — no
+    collectives required, SURVEY §2.6)."""
+    import numpy as np
+
+    from goofer_tpu.parallel import make_mesh, render_notes_sharded
+    from goofer_tpu.sampler.phrase import ARRAY_ORDER, _batched_core
+    from goofer_tpu.sampler.resampler import GooferResampler
+
+    sr, n_fft, hop = 44100, 256, 64
+    ylen = 4096
+    n_bins = n_fft // 2 + 1
+    t = ylen // hop + 1
+    env = (np.exp(-np.linspace(0, 5, n_bins))[:, None]
+           * np.ones((1, t)) + 1e-5).astype(np.float32)
+    f0i = np.full(ylen, 220.0)
+    f0i[: ylen // 8] = 0.0
+    vmask = (f0i > 75).astype(np.float64)
+    forms = {i: np.full(t, 500.0 * i) for i in (1, 2, 3, 4)}
+
+    r = GooferResampler("dry.wav", "/dev/null", "C4", 100, "t10B20",
+                        0, 60, 20, 0, 100, 0, "!120", "AA",
+                        n_fft=n_fft, hop=hop, autorender=False)
+    rs, arrays, scalars = r.prepare(env, f0i, vmask, forms, sr, ylen,
+                                    bucket=True)
+
+    b = 8
+    axes = tuple(0 for _ in ARRAY_ORDER)
+    stacked = [np.stack([np.asarray(arrays[k])] * b) for k in ARRAY_ORDER]
+    sc = {k: np.stack([np.asarray(v, dtype=np.float32)] * b)
+          for k, v in scalars.items()}
+    keys = np.stack([np.zeros(b, np.uint32),
+                     np.arange(b, dtype=np.uint32)], axis=1)
+
+    mesh = make_mesh(8, tp=2)
+    out_sharded = np.asarray(render_notes_sharded(
+        mesh, rs, axes, stacked, sc, keys))
+
+    fn = _batched_core(rs, axes)
+    out_single = np.asarray(fn(*[np.asarray(s) for s in stacked], sc, keys))
+
+    assert out_sharded.shape == (b, rs.n)
+    np.testing.assert_allclose(out_sharded, out_single, rtol=2e-5,
+                               atol=2e-5)
