@@ -1,22 +1,27 @@
 """Pallas TPU kernel for LF pulse accumulation.
 
-The pulse train is the hottest op in the render graph.  The jnp lowering
-pays one cummax + one N-element gather per overlap level (TPU dynamic
-gathers run ~100 M elements/s); this kernel removes per-sample gathers
-entirely by going block-local:
+The pulse train is the hottest op in the render graph.  The jnp blocked
+lowering gathers a slab of onset rows per 128-sample block and then
+materializes an (n_blocks, slab, blk) contribution tensor for XLA to
+fuse; this kernel keeps the same block-local decomposition but performs
+the dense evaluation in VMEM with explicit accumulation, so the only HBM
+traffic is the (tiny) slab tables in and one output tile out:
 
 * jnp preprocessing compacts the onsets into per-generation tables
-  (position, period-in-samples, period-in-seconds, peak-norm) of static
-  size M — one cheap scatter with unique indices — plus the generation
-  index at every block boundary;
+  (position, period-in-samples, period-in-seconds, peak-norm) — one
+  cheap scatter with unique indices — and pre-gathers, per 512-sample
+  block, the SLAB of consecutive onset rows covering
+  [gen(block_start) - K + 1, gen(block_end)] (one XLA gather of
+  n_blocks*slab elements);
 * the kernel runs a (batch, block-octet) grid: each step handles 8
   consecutive 512-sample blocks of one batch row (the 8x512 output tile
-  satisfies the f32 tiling constraint); per block it reads a SLAB of
-  consecutive onset rows covering [gen(block_start) - K + 1,
-  gen(block_end)] with one dynamic VMEM slice, then evaluates every
-  (row, sample) pair densely on the VPU.  Out-of-window pairs mask to
-  zero, so correctness needs only the same K-overlap bound as the jnp
-  path (plus a minimum onset-spacing assumption sizing the slab).
+  satisfies the f32 tiling constraint).  The slab tables arrive as SMEM
+  blocks — scalar reads with static indices, no dynamic VMEM slicing
+  (Mosaic requires 128-lane-provable offsets for those) — and every
+  (row, sample) pair is evaluated densely on the VPU.  Out-of-window
+  pairs mask to zero, so correctness needs only the same K-overlap bound
+  as the jnp path (plus the minimum onset-spacing assumption that sizes
+  the slab).
 
 Everything is f32; the LF shape matches ops/pulse.lf_pulse_value
 (including the Numba epsilon guards when ``guard=True``).
@@ -53,66 +58,55 @@ def _lf_eval(u, T, Ra, Rg, Rk, guard):
     return jnp.where((u >= 0.0) & (u < 1.0), out, 0.0)
 
 
-def _pulse_block_kernel(block_gen_ref, pos_ref, t0_ref, t_ref, norm_ref,
-                        out_ref, *, slab: int, k_back: int, m_rows: int,
-                        Ra: float, Rg: float, Rk: float, guard: bool):
-    bi = pl.program_id(0)
+def _pulse_block_kernel(pos_ref, t0_ref, t_ref, norm_ref, out_ref, *,
+                        slab: int, Ra: float, Rg: float, Rk: float,
+                        guard: bool):
     c = pl.program_id(1)
     for r in range(OCTET):
-        b = c * OCTET + r
-        g0 = block_gen_ref[bi, b]
-        start = jnp.clip(g0 - k_back, 0, m_rows - slab)
-
-        pos = pos_ref[bi, pl.ds(start, slab)]          # (slab,) f32
-        t0 = t0_ref[bi, pl.ds(start, slab)]
-        ts = t_ref[bi, pl.ds(start, slab)]
-        nrm = norm_ref[bi, pl.ds(start, slab)]
-
-        base = (b * BLK).astype(jnp.float32)
+        base = ((c * OCTET + r) * BLK).astype(jnp.float32)
         n_vec = jax.lax.broadcasted_iota(
             jnp.int32, (1, BLK), 1).astype(jnp.float32) + base
 
         acc = jnp.zeros((1, BLK), dtype=jnp.float32)
         for j in range(slab):
-            offs = n_vec - pos[j]
-            u = offs / t0[j]
-            val = _lf_eval(u, ts[j], Ra, Rg, Rk, guard) / nrm[j]
-            acc = acc + jnp.where((offs >= 0.0) & (offs < t0[j]), val, 0.0)
+            p = pos_ref[0, r, j]                       # SMEM scalars
+            t0 = t0_ref[0, r, j]
+            ts = t_ref[0, r, j]
+            nrm = norm_ref[0, r, j]
+            offs = n_vec - p
+            u = offs / t0
+            val = _lf_eval(u, ts, Ra, Rg, Rk, guard) / nrm
+            acc = acc + jnp.where((offs >= 0.0) & (offs < t0), val, 0.0)
         out_ref[0, r, :] = acc[0]
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11))
-def pulse_accumulate_pallas(block_gen, pos_tab, t0_tab, t_tab, norm_tab,
-                            slab: int, k_back: int, Ra: float, Rg: float,
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
+def pulse_accumulate_pallas(pos_slab, t0_slab, t_slab, norm_slab,
+                            slab: int, Ra: float, Rg: float,
                             Rk: float, guard: bool,
                             interpret: bool = False):
-    """Accumulate pulses given compact onset tables.
+    """Accumulate pulses given per-block slab tables.
 
-    block_gen: (B, n_blocks) int32 — 0-based row index of the most recent
-    onset at each 512-sample block start (-1 if none); n_blocks must be a
-    multiple of 8.  *_tab: (B, M) f32 compact per-generation tables; rows
-    past the last onset must carry pos >= n so they never contribute.
+    ``*_slab``: (B, n_blocks, slab) f32 — for each 512-sample block, the
+    consecutive onset rows that can contribute to it (pre-gathered from
+    the compact tables; rows past the last onset must carry pos >= n so
+    they never contribute).  n_blocks must be a multiple of 8.
     Returns (B, n_blocks * BLK) f32; slice to the true sample count.
     """
-    bsz, n_blocks = block_gen.shape
-    m_rows = pos_tab.shape[1]
+    bsz, n_blocks, _ = pos_slab.shape
     assert n_blocks % OCTET == 0
     kernel = functools.partial(
-        _pulse_block_kernel, slab=slab, k_back=k_back, m_rows=m_rows,
-        Ra=Ra, Rg=Rg, Rk=Rk, guard=guard)
+        _pulse_block_kernel, slab=slab, Ra=Ra, Rg=Rg, Rk=Rk, guard=guard)
+    slab_spec = pl.BlockSpec((1, OCTET, slab),
+                             lambda bi, c: (bi, c, 0),
+                             memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         kernel,
         grid=(bsz, n_blocks // OCTET),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=[slab_spec, slab_spec, slab_spec, slab_spec],
         out_specs=pl.BlockSpec((1, OCTET, BLK), lambda bi, c: (bi, c, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, n_blocks, BLK), jnp.float32),
         interpret=interpret,
-    )(block_gen, pos_tab, t0_tab, t_tab, norm_tab)
+    )(pos_slab, t0_slab, t_slab, norm_slab)
     return out.reshape(bsz, n_blocks * BLK)

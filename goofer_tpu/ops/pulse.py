@@ -203,7 +203,7 @@ def _accumulate_pulses_blocked(n_samples: int, onset: jnp.ndarray,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_pallas_accumulate(slab: int, k_back: int, Ra: float, Rg: float,
+def _make_pallas_accumulate(slab: int, Ra: float, Rg: float,
                             Rk: float, guard: bool, interpret: bool):
     """custom_vmap-wrapped single-example entry over the batched Pallas
     kernel, so ``jax.vmap`` of the render graph maps onto the kernel's
@@ -211,10 +211,10 @@ def _make_pallas_accumulate(slab: int, k_back: int, Ra: float, Rg: float,
     from goofer_tpu.ops.pallas.pulse_kernel import pulse_accumulate_pallas
 
     @jax.custom_batching.custom_vmap
-    def accumulate(block_gen, pos_tab, t0_tab, t_tab, norm_tab):
+    def accumulate(pos_s, t0_s, t_s, norm_s):
         out = pulse_accumulate_pallas(
-            block_gen[None], pos_tab[None], t0_tab[None], t_tab[None],
-            norm_tab[None], slab, k_back, Ra, Rg, Rk, guard, interpret)
+            pos_s[None], t0_s[None], t_s[None], norm_s[None],
+            slab, Ra, Rg, Rk, guard, interpret)
         return out[0]
 
     @accumulate.def_vmap
@@ -222,7 +222,7 @@ def _make_pallas_accumulate(slab: int, k_back: int, Ra: float, Rg: float,
         args = [a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
                 for a, b in zip(args, in_batched)]
         out = pulse_accumulate_pallas(
-            *args, slab, k_back, Ra, Rg, Rk, guard, interpret)
+            *args, slab, Ra, Rg, Rk, guard, interpret)
         return out, True
 
     return accumulate
@@ -234,7 +234,8 @@ def _accumulate_pulses_pallas(n_samples: int, onset: jnp.ndarray,
                               max_overlap: int, min_spacing: int = 16,
                               interpret: bool = False) -> jnp.ndarray:
     """Pallas block-local variant of _accumulate_pulses: compact onset
-    tables + per-block dense evaluation (see ops/pallas/pulse_kernel.py).
+    tables, per-block slab gather (XLA), dense evaluation in the kernel
+    (see ops/pallas/pulse_kernel.py).
 
     ``min_spacing`` is the assumed minimum onset spacing in samples (16 =
     f0 up to ~2.75 kHz at 44.1 kHz); onsets denser than that within one
@@ -266,9 +267,11 @@ def _accumulate_pulses_pallas(n_samples: int, onset: jnp.ndarray,
     starts = jnp.minimum(jnp.arange(n_blocks_pad) * BLK, n - 1)
     block_gen = row[starts]
     slab = min(m, max_overlap + BLK // min_spacing + 2)
-    fn = _make_pallas_accumulate(slab, max_overlap - 1, Ra, Rg, Rk,
-                                 guard, interpret)
-    out = fn(block_gen, pos_tab, t0_tab, t_tab, norm_tab)
+    base = jnp.clip(block_gen - (max_overlap - 1), 0, m - slab)
+    idx = base[:, None] + jnp.arange(slab, dtype=jnp.int32)[None, :]
+    fn = _make_pallas_accumulate(slab, Ra, Rg, Rk, guard, interpret)
+    out = fn(jnp.take(pos_tab, idx), jnp.take(t0_tab, idx),
+             jnp.take(t_tab, idx), jnp.take(norm_tab, idx))
     return out[:n]
 
 
