@@ -64,7 +64,9 @@ VERSION = "0.1.0"
 REFERENCE_CLI_VERSION = "v2.6.1"
 
 
-PULSE_OVERLAP_BUCKETS = (4, 8, 16, 32)
+# Floor of 8: a 4-vs-8 split doubled the compiled-graph count across a
+# pitch-diverse phrase for a negligible pulse-compute saving.
+PULSE_OVERLAP_BUCKETS = (8, 16, 32)
 
 
 def bucket_overlap(k: int) -> int:
