@@ -27,7 +27,7 @@ def _prep(f0, sr):
 @pytest.mark.parametrize("f0_hz", [220.3, 97.1])
 def test_pallas_kernel_matches_oracle_constant(f0_hz):
     sr = 44100
-    n = 6000
+    n = 4096
     f0 = np.full(n, f0_hz, dtype=np.float32)
     f0[: n // 8] = 0.0
     onset, T0, T = _prep(f0, sr)
@@ -39,7 +39,7 @@ def test_pallas_kernel_matches_oracle_constant(f0_hz):
 
 def test_pallas_kernel_matches_oracle_glide_with_gap():
     sr = 44100
-    n = 20000
+    n = 8192
     t = np.arange(n) / sr
     f0 = (200.0 * 2 ** (0.4 * np.sin(2 * np.pi * 2.0 * t))).astype(
         np.float32)
@@ -63,7 +63,7 @@ def test_pallas_kernel_silence():
 
 def test_pallas_matches_jnp_path():
     sr = 44100
-    n = 10000
+    n = 8192
     f0 = np.full(n, 311.7, dtype=np.float32)
     f0[:900] = 0
     onset, T0, T = _prep(f0, sr)
