@@ -165,8 +165,8 @@ def render_phrase(notes, n_fft: int = config.SAMPLER_N_FFT,
         groups.setdefault((pl.rs, _shape_key(pl)), []).append(pl)
 
     outs: list = [None] * len(planned)
-    pending = []
-    for (rs, _sk), members in groups.items():
+
+    def dispatch(rs, members):
         b_true = len(members)
         b_pad = config.bucket_batch(b_true) if rs.masked else b_true
         # per-note threefry keys fabricated on host: (seed, note index) —
@@ -212,7 +212,22 @@ def render_phrase(notes, n_fft: int = config.SAMPLER_N_FFT,
         max_n = max(int(m.scalars.get("n_true") or rs.n) for m in members)
         if b_pad > b_true or max_n < rs.n:
             result = result[:b_true, :max_n]
-        pending.append((members, result))
+        return members, result
+
+    # dispatch groups from a small thread pool: dispatch itself is async
+    # and ~free, but FIRST calls compile — the remote XLA compile service
+    # overlaps concurrent requests, cutting cold multi-graph warmup
+    items = list(groups.items())
+    if not items:
+        return outs
+    if len(items) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, len(items))) as pool:
+            pending = list(pool.map(
+                lambda kv: dispatch(kv[0][0], kv[1]), items))
+    else:
+        pending = [dispatch(items[0][0][0], items[0][1])]
 
     for members, result in pending:
         result = np.asarray(result)          # blocks on this group only
