@@ -145,7 +145,8 @@ def plan_phrase(notes, n_fft: int = config.SAMPLER_N_FFT,
 
 def render_phrase(notes, n_fft: int = config.SAMPLER_N_FFT,
                   hop: int = config.SAMPLER_HOP, seed: int = 0,
-                  pcm16: bool = False, bucket: bool | str = "auto"):
+                  pcm16: bool = False, bucket: bool | str = "auto",
+                  mesh=None):
     """Render a list of NoteSpec; returns list of waveforms in the input
     order.  Notes sharing a graph signature render as one vmapped
     dispatch; all dispatches are issued asynchronously before any result
@@ -155,6 +156,10 @@ def render_phrase(notes, n_fft: int = config.SAMPLER_N_FFT,
     the vmap batch size pad to shared buckets, so arbitrary phrases reuse
     a handful of compiled graphs; outputs are sliced back to true extents
     on device before fetching.
+
+    ``mesh`` (a jax.sharding.Mesh) shards every group's note batch over
+    all mesh axes — note renders are independent, so GSPMD distributes
+    the same compiled graphs over ICI with no collectives (SURVEY §2.6).
 
     ``pcm16=True`` quantizes to int16 PCM on device — the actual payload
     of the output WAVs — halving device->host transfer."""
@@ -166,9 +171,23 @@ def render_phrase(notes, n_fft: int = config.SAMPLER_N_FFT,
 
     outs: list = [None] * len(planned)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def put(x, batched):
+            x = jnp.asarray(x)
+            spec = (P(*((mesh.axis_names,) + (None,) * (x.ndim - 1)))
+                    if batched else P(*((None,) * x.ndim)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
     def dispatch(rs, members):
         b_true = len(members)
-        b_pad = config.bucket_batch(b_true) if rs.masked else b_true
+        if mesh is not None:
+            b_pad = -(-config.bucket_batch(b_true) // mesh.size) * mesh.size
+        elif rs.masked:
+            b_pad = config.bucket_batch(b_true)
+        else:
+            b_pad = b_true
         # per-note threefry keys fabricated on host: (seed, note index) —
         # distinct uint32 pairs are independent keys, and this avoids two
         # device round-trips (fold_in + split) per group
@@ -206,7 +225,14 @@ def render_phrase(notes, n_fft: int = config.SAMPLER_N_FFT,
                 rows += [rows[-1]] * (b_pad - b_true)
                 sc[k] = np.stack(rows)
         fn = _batched_core(rs, tuple(axes), pcm16)
-        result = fn(*stacked, sc, keys)
+        if mesh is not None:
+            stacked = [put(a, ax == 0) for a, ax in zip(stacked, axes)]
+            sc = {k: put(v, True) for k, v in sc.items()}
+            keys = put(keys, True)
+            with mesh:
+                result = fn(*stacked, sc, keys)
+        else:
+            result = fn(*stacked, sc, keys)
         # slice padded rows AND padded tail columns off on device, so
         # bucket padding costs no device->host transfer
         max_n = max(int(m.scalars.get("n_true") or rs.n) for m in members)

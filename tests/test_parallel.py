@@ -138,3 +138,41 @@ def test_full_render_sharded_matches_single():
     assert out_sharded.shape == (b, rs.n)
     np.testing.assert_allclose(out_sharded, out_single, rtol=2e-5,
                                atol=2e-5)
+
+
+@pytest.mark.slow
+def test_render_phrase_on_mesh_matches_single():
+    """render_phrase(mesh=...) distributes each group's batch over the
+    mesh and returns the same audio as the single-device path."""
+    import os
+    import sys
+    import tempfile
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench import _make_voicebank_sample
+    from goofer_tpu.parallel import make_mesh
+    from goofer_tpu.sampler.phrase import NoteSpec, render_phrase
+
+    sr = 44100
+    tmp = tempfile.mkdtemp(prefix="goofer_mesh_phrase_")
+    src = os.path.join(tmp, "a.wav")
+    _make_voicebank_sample(src, sr)
+
+    notes = [NoteSpec(src, p, length=ln, consonant=60, flags="t10B10")
+             for p, ln in (("C4", 420), ("D4", 420), ("E4", 420),
+                           ("G4", 420), ("A4", 530), ("C5", 530))]
+    render_phrase(notes[:1])      # extract + persist the .goofy first:
+    # the initial call renders from the freshly-extracted DENSE envelope
+    # while later calls use the knot-compressed cache (reference
+    # extract-once semantics), so compare cache-warm vs cache-warm
+    single = render_phrase(notes)
+    mesh = make_mesh(8, tp=2)
+    sharded = render_phrase(notes, mesh=mesh)
+    assert len(sharded) == len(single)
+    for a, b in zip(sharded, single):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
