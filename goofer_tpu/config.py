@@ -9,12 +9,20 @@ the envelope matmuls.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 # Storage dtype for .goofy feature files (ref: GOOFER.py:7).
 STORAGE_DTYPE = np.float16
 # Compute dtype for all device math (ref: GOOFER.py:8).
 COMPUTE_DTYPE = np.float32
+# Opt-in dtype for the mel-knot envelope-decode matmul — the one MXU op
+# in the pipeline.  bfloat16 halves its HBM traffic at <1e-2 relative
+# envelope error (the knots are stored fp16 anyway); set
+# GOOFER_TPU_ENVELOPE_MATMUL_DTYPE=bfloat16 to enable.
+ENVELOPE_MATMUL_DTYPE = os.environ.get(
+    "GOOFER_TPU_ENVELOPE_MATMUL_DTYPE", "float32")
 
 # Frame parameters used by the resampler CLI (ref: SillySampler.py:14-15).
 SAMPLER_N_FFT = 1024

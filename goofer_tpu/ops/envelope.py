@@ -79,12 +79,19 @@ def _knot_bin_idx(sr: int, n_fft: int, k: int, n_bins: int) -> np.ndarray:
 
 def decode_env_from_knots(knot_vals_log: jnp.ndarray, sr: int, n_fft: int,
                           n_bins: int) -> jnp.ndarray:
-    """exp(W @ knots), truncated to n_bins rows (ref: GOOFER.py:149-168)."""
+    """exp(W @ knots), truncated to n_bins rows (ref: GOOFER.py:149-168).
+
+    The matmul runs in config.ENVELOPE_MATMUL_DTYPE (f32 default; bf16
+    opt-in halves its HBM traffic — the knots are fp16-stored anyway)
+    and accumulates in f32."""
+    from goofer_tpu.config import ENVELOPE_MATMUL_DTYPE
+
     k = knot_vals_log.shape[0]
-    w = jnp.asarray(_decode_matrix(sr, n_fft, k))
-    log_env = jnp.dot(w, knot_vals_log.astype(jnp.float32),
+    mm_dtype = jnp.dtype(ENVELOPE_MATMUL_DTYPE)
+    w = jnp.asarray(_decode_matrix(sr, n_fft, k)).astype(mm_dtype)
+    log_env = jnp.dot(w, knot_vals_log.astype(mm_dtype),
                       preferred_element_type=jnp.float32)
-    env = jnp.exp(log_env)
+    env = jnp.exp(log_env.astype(jnp.float32))
     if env.shape[0] != n_bins:
         env = env[:n_bins, :]
     return env

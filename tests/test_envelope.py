@@ -148,3 +148,30 @@ def test_match_env_frames():
     padded = np.asarray(env_mod.match_env_frames(jnp.asarray(env), 14))
     assert padded.shape == (N_BINS, 14)
     np.testing.assert_allclose(padded[:, 10:], env[:, 9:10].repeat(4, axis=1))
+
+
+def test_knot_decode_bf16_optin(monkeypatch):
+    """bfloat16 envelope-decode opt-in stays within the codec's own
+    error budget."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from goofer_tpu import config
+    from goofer_tpu.ops.envelope import (
+        compress_env_to_knots,
+        decode_env_from_knots,
+    )
+
+    rng = np.random.default_rng(0)
+    sr, n_fft = 44100, 1024
+    n_bins = n_fft // 2 + 1
+    env = np.exp(rng.standard_normal((n_bins, 40)) * 0.5).astype(np.float32)
+    knots = compress_env_to_knots(env, sr, n_fft)
+
+    ref = np.asarray(decode_env_from_knots(
+        jnp.asarray(knots["knot_vals_log"], jnp.float32), sr, n_fft, n_bins))
+    monkeypatch.setattr(config, "ENVELOPE_MATMUL_DTYPE", "bfloat16")
+    got = np.asarray(decode_env_from_knots(
+        jnp.asarray(knots["knot_vals_log"], jnp.float32), sr, n_fft, n_bins))
+    rel = np.abs(got - ref) / (ref + 1e-8)
+    assert rel.max() < 2e-2
