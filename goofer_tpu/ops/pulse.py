@@ -136,26 +136,40 @@ def _accumulate_pulses(n_samples: int, onset: jnp.ndarray,
 
 
 def _compact_onset_tables(n: int, onset, T0_track, T_track, Ra, Rg, Rk,
-                          guard, min_spacing: int):
-    """Scatter per-onset rows into compact per-generation tables (unique
-    indices -> fast scatter).  Returns (row_of_latest_onset_per_sample,
-    pos_tab, t0_tab, t_tab, norm_tab) with M = n // min_spacing + 2."""
+                          guard, min_spacing: int,
+                          pos_fill: float | None = None):
+    """Compact per-generation onset tables, scatter-free.
+
+    ``gen = cumsum(onset)`` is nondecreasing, so the sample index of the
+    (r+1)-th onset is ``searchsorted(gen, r+1)`` — a batched binary
+    search (log2(n) vectorized gathers) instead of a scatter.  The
+    scatter formulation routed every non-onset sample into one dump row;
+    XLA-TPU lowers that collision pattern ~10x slower than this search
+    (measured: 29 ms -> ~2 ms for 50 x 24.7k tracks).
+
+    Returns (row_of_latest_onset_per_sample, pos_tab, t0_tab, t_tab,
+    norm_tab) with M = n // min_spacing + 2; rows past the last true
+    onset hold (pos_fill, 1, 1, 1).
+    """
     m = n // min_spacing + 2
     gen = jnp.cumsum(onset.astype(jnp.int32))
     row = gen - 1                                  # 0-based, -1 before first
-    scatter_idx = jnp.where(onset, row, m)
-
-    def scatter(vals, fill):
-        tab = jnp.full((m + 1,), fill, dtype=jnp.float32)
-        return tab.at[scatter_idx].set(vals.astype(jnp.float32))[:m]
+    queries = jnp.arange(1, m + 1, dtype=gen.dtype)
+    pos = jnp.searchsorted(gen, queries, side="left")
+    valid = pos < n
+    pos_c = jnp.minimum(pos, n - 1)
 
     T0f = T0_track.astype(jnp.float32)
     Tf = T_track.astype(jnp.float32)
-    norm_track = _grid_peak(T0f, Tf, Ra, Rg, Rk, guard)
-    pos_tab = scatter(jnp.arange(n, dtype=jnp.float32), float(4 * n))
-    t0_tab = scatter(T0f, 1.0)
-    t_tab = scatter(Tf, 1.0)
-    norm_tab = scatter(norm_track, 1.0)
+    t0_g = jnp.take(T0f, pos_c)
+    t_g = jnp.take(Tf, pos_c)
+    if pos_fill is None:
+        pos_fill = float(4 * n)
+    pos_tab = jnp.where(valid, pos.astype(jnp.float32), pos_fill)
+    t0_tab = jnp.where(valid, t0_g, 1.0)
+    t_tab = jnp.where(valid, t_g, 1.0)
+    norm_tab = jnp.where(valid, _grid_peak(t0_g, t_g, Ra, Rg, Rk, guard),
+                         1.0)
     return row, pos_tab, t0_tab, t_tab, norm_tab
 
 
@@ -246,21 +260,9 @@ def _accumulate_pulses_pallas(n_samples: int, onset: jnp.ndarray,
 
     n = n_samples
     m = n // min_spacing + 2
-    gen = jnp.cumsum(onset.astype(jnp.int32))
-    row = gen - 1                                  # 0-based, -1 before first
-    scatter_idx = jnp.where(onset, row, m)
-
-    def scatter(vals, fill):
-        tab = jnp.full((m + 1,), fill, dtype=jnp.float32)
-        return tab.at[scatter_idx].set(vals.astype(jnp.float32))[:m]
-
-    T0f = T0_track.astype(jnp.float32)
-    Tf = T_track.astype(jnp.float32)
-    norm_track = _grid_peak(T0f, Tf, Ra, Rg, Rk, guard)
-    pos_tab = scatter(jnp.arange(n, dtype=jnp.float32), float(2 * n + BLK))
-    t0_tab = scatter(T0f, 1.0)
-    t_tab = scatter(Tf, 1.0)
-    norm_tab = scatter(norm_track, 1.0)
+    row, pos_tab, t0_tab, t_tab, norm_tab = _compact_onset_tables(
+        n, onset, T0_track, T_track, Ra, Rg, Rk, guard, min_spacing,
+        pos_fill=float(2 * n + BLK))
 
     n_blocks = -(-n // BLK)
     n_blocks_pad = -(-n_blocks // OCTET) * OCTET
