@@ -86,6 +86,25 @@ def bucket_overlap(k: int) -> int:
     return PULSE_OVERLAP_BUCKETS[-1]
 
 
+# Assumed minimum pulse-onset spacing (samples): sizes the compact onset
+# tables (m = n / spacing) and the per-block slab gathers.  16 is the
+# safe worst case (f0 up to ~2.75 kHz at 44.1 kHz); when the host knows
+# the note's f0 ceiling it rounds sr/f0_ceil DOWN to one of these so
+# typical notes gather ~4-8x fewer table rows.
+PULSE_MIN_SPACING = 16
+PULSE_MIN_SPACING_BUCKETS = (16, 32, 64, 128, 256)
+
+
+def bucket_min_spacing(s: int) -> int:
+    """Round an onset-spacing bound DOWN to a bucket (smaller is always
+    safe — it only grows the tables)."""
+    out = PULSE_MIN_SPACING_BUCKETS[0]
+    for b in PULSE_MIN_SPACING_BUCKETS:
+        if b <= s:
+            out = b
+    return out
+
+
 def bucket_len(n: int, base: int = 4096, ratio: float = 1.5,
                quantum: int = 1024) -> int:
     """Round a sample count up to a geometric length bucket (~ratio step,

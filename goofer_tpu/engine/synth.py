@@ -83,6 +83,11 @@ class SynthStatic:
     rough_noise_smooth_ms: float = 120.0
     rough_alpha_slew_ms: float = 120.0
     max_overlap: int = config.PULSE_MAX_OVERLAP
+    # assumed minimum pulse-onset spacing (samples), host-derived from the
+    # note's f0 ceiling; sizes the compact onset tables and slab gathers.
+    # 16 is the safe worst case; the subharmonic layer (which runs up to
+    # 2x f0 plus vibrato) derives its own tighter bound from this.
+    pulse_min_spacing: int = config.PULSE_MIN_SPACING
     # bucketed rendering: ``n`` is a padded length bucket and the true
     # note length rides in as the traced knob ``n_true``; stems are
     # zeroed past it BEFORE peak normalization, so notes of different
@@ -173,7 +178,8 @@ def _synth_body(st: SynthStatic, env_spec, f0_interp, voicing_mask,
                                    knobs["f0_jitter_strength"])
         f0 = f0 * (1.0 + (jit_track - 1.0) * mask)
 
-    pulse = pulse_train(f0, sr, max_overlap=st.max_overlap)
+    pulse = pulse_train(f0, sr, max_overlap=st.max_overlap,
+                        min_spacing=st.pulse_min_spacing)
 
     if st.add_subharm:
         f0_sub = f0
@@ -186,9 +192,17 @@ def _synth_body(st: SynthStatic, env_spec, f0_interp, voicing_mask,
                 f0_sub, sr, knobs["subharm_vibrato_rate"],
                 knobs["subharm_vibrato_depth"], st.subharm_vibrato_delay)
         sub_mask = mask * valid_in if st.masked else mask
+        # subharmonic onsets can be up to ratio x vibrato x jitter denser
+        # than the main train; shrink its spacing bound accordingly
+        sub_ratio = max(2.0 ** (float(s) / 12.0)
+                        for s in st.subharm_semitones)
+        sub_margin = sub_ratio * 1.5  # vibrato depth up to ~7 semitones
+        if st.subharm_f0_jitter_on:
+            sub_margin *= 2.0
+        sub_spacing = max(8, int(st.pulse_min_spacing / sub_margin))
         pulse = pulse + subharm_pulse_train(
             f0_sub, sr, sub_mask, list(st.subharm_semitones),
-            knobs["subharm_weight"])
+            knobs["subharm_weight"], min_spacing=sub_spacing)
 
     if st.masked:
         # cut the excitation at the true end and write the reflect pad

@@ -106,12 +106,15 @@ def synthesize(env_spec, f0_interp, voicing_mask, y, sr,
     if pos.size:
         jit_hi = 1.0 + (f0_jitter_strength if f0_jitter else 0.0)
         jit_lo = max(0.25, 1.0 - (f0_jitter_strength if f0_jitter else 0.0))
-        ratio = (max(pos.max() * jit_hi, 160.0)
-                 / max(1.0, min(pos.min() * jit_lo, 160.0)))
+        f0_ceil = max(pos.max() * jit_hi, 160.0)
+        ratio = f0_ceil / max(1.0, min(pos.min() * jit_lo, 160.0))
     else:
-        ratio = 1.0
+        f0_ceil, ratio = 160.0, 1.0
     max_overlap = config_mod.bucket_overlap(
         int(np.clip(np.ceil(0.804 * ratio) + 2, 3, 32)))
+    # onset-spacing floor from the same ceiling (sizes the pulse tables)
+    min_spacing = config_mod.bucket_min_spacing(
+        int(sr / max(f0_ceil, 1.0)))
 
     st = SynthStatic(
         sr=int(sr), n_fft=n_fft, hop=hop_length, n=out_len,
@@ -140,6 +143,7 @@ def synthesize(env_spec, f0_interp, voicing_mask, y, sr,
         rough_noise_smooth_ms=float(rough_noise_smooth_ms),
         rough_alpha_slew_ms=float(rough_alpha_slew_ms),
         max_overlap=max_overlap,
+        pulse_min_spacing=min_spacing,
     )
     knobs = {
         "pitch_shift": pitch_shift,

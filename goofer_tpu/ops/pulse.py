@@ -290,6 +290,7 @@ def pulse_train(f0: jnp.ndarray, sr: float,
                 Rk: float = config.PULSE_RK,
                 fallback_f0: float = config.PULSE_FALLBACK_F0,
                 max_overlap: int = config.PULSE_MAX_OVERLAP,
+                min_spacing: int = config.PULSE_MIN_SPACING,
                 use_pallas: bool | None = None) -> jnp.ndarray:
     """ARX-LF pulse train from a per-sample f0 track.
 
@@ -313,11 +314,13 @@ def pulse_train(f0: jnp.ndarray, sr: float,
     if use_pallas and n >= 512:
         return _accumulate_pulses_pallas(n, onset, T0, T, Ra, Rg, Rk,
                                          guard=True,
-                                         max_overlap=max_overlap)
+                                         max_overlap=max_overlap,
+                                         min_spacing=min_spacing)
     if n >= 256:
         return _accumulate_pulses_blocked(n, onset, T0, T, Ra, Rg, Rk,
                                           guard=True,
-                                          max_overlap=max_overlap)
+                                          max_overlap=max_overlap,
+                                          min_spacing=min_spacing)
     return _accumulate_pulses(n, onset, T0, T, Ra, Rg, Rk, guard=True,
                               max_overlap=max_overlap)
 
@@ -326,6 +329,7 @@ def subharm_pulse_train(f0: jnp.ndarray, sr: float, mask: jnp.ndarray,
                         semitones, weight: float,
                         fallback_f0: float = config.PULSE_FALLBACK_F0,
                         max_overlap: int = 8,
+                        min_spacing: int = 8,
                         use_pallas: bool | None = None) -> jnp.ndarray:
     """Subharmonic pulse layer (ref: GOOFER.py:672-746).
 
@@ -357,11 +361,11 @@ def subharm_pulse_train(f0: jnp.ndarray, sr: float, mask: jnp.ndarray,
         if use_pallas and n >= 512:
             total = total + _accumulate_pulses_pallas(
                 n, onset, T0, T, Ra=0.02, Rg=1.7, Rk=1.0, guard=False,
-                max_overlap=max_overlap, min_spacing=8)
+                max_overlap=max_overlap, min_spacing=min_spacing)
         elif n >= 256:
             total = total + _accumulate_pulses_blocked(
                 n, onset, T0, T, Ra=0.02, Rg=1.7, Rk=1.0, guard=False,
-                max_overlap=max_overlap, min_spacing=8)
+                max_overlap=max_overlap, min_spacing=min_spacing)
         else:
             total = total + _accumulate_pulses(
                 n, onset, T0, T, Ra=0.02, Rg=1.7, Rk=1.0, guard=False,

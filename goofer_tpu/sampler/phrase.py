@@ -15,7 +15,7 @@ OpenUtau-driven interactive use.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from functools import partial
 from pathlib import Path
 
@@ -165,9 +165,23 @@ def render_phrase(notes, n_fft: int = config.SAMPLER_N_FFT,
     of the output WAVs — halving device->host transfer."""
     planned, _ = plan_phrase(notes, n_fft, hop, bucket=bucket)
 
+    # group ignoring the pulse-spacing statics, then harmonize each group
+    # to its most conservative (smallest) spacing: notes of different
+    # pitch would otherwise split groups over a static that only sizes
+    # the pulse tables (smaller is always safe, merely a bit more work)
     groups: dict = {}
     for pl in planned:
-        groups.setdefault((pl.rs, _shape_key(pl)), []).append(pl)
+        key_rs = replace(pl.rs, min_spacing=config.PULSE_MIN_SPACING,
+                         growl_min_spacing=config.PULSE_MIN_SPACING)
+        groups.setdefault((key_rs, _shape_key(pl)), []).append(pl)
+    groups = {
+        (replace(key_rs,
+                 min_spacing=min(m.rs.min_spacing for m in members),
+                 growl_min_spacing=min(m.rs.growl_min_spacing
+                                       for m in members)),
+         sk): members
+        for (key_rs, sk), members in groups.items()
+    }
 
     outs: list = [None] * len(planned)
 

@@ -79,6 +79,11 @@ class RenderStatic:
     # instead of paying the worst case everywhere
     max_overlap: int = config.PULSE_MAX_OVERLAP
     growl_max_overlap: int = config.PULSE_MAX_OVERLAP
+    # assumed minimum pulse-onset spacing, host-derived from the pitch
+    # curve's f0 ceiling (the growl layer's f0 spread gets its own);
+    # sizes the pulse kernel's compact tables — see ops/pulse.py
+    min_spacing: int = config.PULSE_MIN_SPACING
+    growl_min_spacing: int = config.PULSE_MIN_SPACING
     # bucketed geometry: n / t_env are padded buckets; the true note
     # length arrives as the traced scalar ``n_true`` and padding is
     # masked out of every normalization and the final output
@@ -243,6 +248,7 @@ def render_note_core(rs: RenderStatic,
         warp_formants=rs.warp_formants,
         formant_shift_on=rs.formant_shift_on,
         max_overlap=rs.max_overlap,
+        pulse_min_spacing=rs.min_spacing,
         masked=rs.masked,
     )
     knobs = default_knobs()
@@ -268,6 +274,7 @@ def render_note_core(rs: RenderStatic,
         warp_formants=rs.warp_formants,
         formant_shift_on=rs.formant_shift_on,
         max_overlap=rs.max_overlap,
+        pulse_min_spacing=rs.min_spacing,
         masked=rs.masked,
     )
     layer_knobs = dict(knobs)
@@ -295,6 +302,7 @@ def render_note_core(rs: RenderStatic,
             warp_formants=rs.warp_formants,
             formant_shift_on=rs.formant_shift_on,
             max_overlap=rs.growl_max_overlap,
+            pulse_min_spacing=rs.growl_min_spacing,
             masked=rs.masked,
         )
         _, harm_gw, _, _ = synth_core_impl(
@@ -361,6 +369,7 @@ def render_note_core(rs: RenderStatic,
             formant_shift_on=rs.formant_shift_on,
             noise_transition_smoothness=1.0,
             max_overlap=rs.max_overlap,
+            pulse_min_spacing=rs.min_spacing,
             masked=rs.masked,
         )
         ap_knobs = dict(layer_knobs)

@@ -585,6 +585,11 @@ class GooferResampler:
         spread = 2.0 ** (6.0 * p.growl_mix ** 2) if p.growl_mix > 0 else 1.0
         growl_max_overlap = config.bucket_overlap(int(np.clip(
             np.ceil(0.804 * ratio * spread) + 2, 3, 32)))
+        # onset-spacing floor from the same f0 ceiling: sizes the pulse
+        # kernel's compact tables (m = n/spacing rows to gather)
+        min_spacing = config.bucket_min_spacing(int(sr / max(f0_ceil, 1.0)))
+        growl_min_spacing = config.bucket_min_spacing(int(sr / max(
+            f0_ceil * 0.5 * spread, 1.0)))
 
         rs = RenderStatic(
             sr=sr, n_fft=self.n_fft, hop=hop, n=n_total, t_env=t_env,
@@ -608,6 +613,8 @@ class GooferResampler:
             sa_on=p.aperiodic_mix > 0.0,
             max_overlap=max_overlap,
             growl_max_overlap=growl_max_overlap,
+            min_spacing=min_spacing,
+            growl_min_spacing=growl_min_spacing,
         )
 
         one = cached(("zeros1",), lambda: np.zeros(1, dtype=np.float32))

@@ -200,6 +200,20 @@ def test_pulse_train_constant_f0_periodicity():
     assert abs(peak_lag - period) <= 1
 
 
+def test_pulse_train_adaptive_min_spacing_exact():
+    # the host-derived onset-spacing bound only resizes the compact
+    # tables; any spacing that truly bounds the track must be exact
+    sr = 44100
+    n = 20000
+    f0 = _f0_track(n, sr)                      # track stays under ~320 Hz
+    ref = np.asarray(pulse.pulse_train(jnp.asarray(f0), sr, min_spacing=16))
+    for ms in (32, 64, 128):
+        got = np.asarray(pulse.pulse_train(jnp.asarray(f0), sr,
+                                           min_spacing=ms))
+        np.testing.assert_allclose(got, ref, atol=1e-6,
+                                   err_msg=f"min_spacing={ms}")
+
+
 @pytest.mark.slow
 def test_pulse_train_silence_has_no_pulses():
     f0 = np.zeros(5000, dtype=np.float32)
