@@ -135,17 +135,22 @@ def _accumulate_pulses(n_samples: int, onset: jnp.ndarray,
     return out
 
 
-def _compact_onset_tables(n: int, onset, T0_track, T_track, Ra, Rg, Rk,
-                          guard, min_spacing: int,
+def _compact_onset_tables(n: int, onset, f0, valid_f0, fallback_f0, sr,
+                          Ra, Rg, Rk, guard, min_spacing: int,
                           pos_fill: float | None = None):
-    """Compact per-generation onset tables, scatter-free.
+    """Compact per-generation onset tables, scatter- and gather-light.
 
     ``gen = cumsum(onset)`` is nondecreasing, so the sample index of the
     (r+1)-th onset is ``searchsorted(gen, r+1)`` — a batched binary
-    search (log2(n) vectorized gathers) instead of a scatter.  The
-    scatter formulation routed every non-onset sample into one dump row;
-    XLA-TPU lowers that collision pattern ~10x slower than this search
-    (measured: 29 ms -> ~2 ms for 50 x 24.7k tracks).
+    search instead of a scatter (the scatter formulation routed every
+    non-onset sample into one dump row; XLA-TPU lowers that collision
+    pattern ~10x slower).
+
+    The period at each onset is the reference's ``last_valid_f0`` carry
+    (ref: GOOFER.py:487-500) evaluated LAZILY: the forward-fill index is
+    a native cummax, and f0 is gathered only at the M table rows — a
+    full-length forward-filled track would cost an n-element gather
+    (~10 ms at 50 x 24.7k) just to be read back at M << n positions.
 
     Returns (row_of_latest_onset_per_sample, pos_tab, t0_tab, t_tab,
     norm_tab) with M = n // min_spacing + 2; rows past the last true
@@ -159,10 +164,16 @@ def _compact_onset_tables(n: int, onset, T0_track, T_track, Ra, Rg, Rk,
     valid = pos < n
     pos_c = jnp.minimum(pos, n - 1)
 
-    T0f = T0_track.astype(jnp.float32)
-    Tf = T_track.astype(jnp.float32)
-    t0_g = jnp.take(T0f, pos_c)
-    t_g = jnp.take(Tf, pos_c)
+    ff = _last_valid_index(valid_f0)               # native cummax, no gather
+    src = jnp.take(ff, pos_c)                      # M-sized gathers only
+    f0_at = jnp.where(src >= 0,
+                      jnp.take(f0.astype(jnp.float32),
+                               jnp.maximum(src, 0)),
+                      jnp.float32(fallback_f0))
+    t_g = 1.0 / jnp.maximum(f0_at, 1e-6)
+    t0_g = jnp.clip(jnp.round(sr * t_g),
+                    config.PULSE_T0_MIN, config.PULSE_T0_MAX)
+
     if pos_fill is None:
         pos_fill = float(4 * n)
     pos_tab = jnp.where(valid, pos.astype(jnp.float32), pos_fill)
@@ -174,7 +185,8 @@ def _compact_onset_tables(n: int, onset, T0_track, T_track, Ra, Rg, Rk,
 
 
 def _accumulate_pulses_blocked(n_samples: int, onset: jnp.ndarray,
-                               T0_track: jnp.ndarray, T_track: jnp.ndarray,
+                               f0: jnp.ndarray, valid_f0: jnp.ndarray,
+                               fallback_f0: float, sr: float,
                                Ra: float, Rg: float, Rk: float, guard: bool,
                                max_overlap: int, min_spacing: int = 16,
                                blk: int = 128) -> jnp.ndarray:
@@ -191,7 +203,8 @@ def _accumulate_pulses_blocked(n_samples: int, onset: jnp.ndarray,
     """
     n = n_samples
     row, pos_tab, t0_tab, t_tab, norm_tab = _compact_onset_tables(
-        n, onset, T0_track, T_track, Ra, Rg, Rk, guard, min_spacing)
+        n, onset, f0, valid_f0, fallback_f0, sr, Ra, Rg, Rk, guard,
+        min_spacing)
     m = pos_tab.shape[0]
 
     n_blocks = -(-n // blk)
@@ -243,7 +256,8 @@ def _make_pallas_accumulate(slab: int, Ra: float, Rg: float,
 
 
 def _accumulate_pulses_pallas(n_samples: int, onset: jnp.ndarray,
-                              T0_track: jnp.ndarray, T_track: jnp.ndarray,
+                              f0: jnp.ndarray, valid_f0: jnp.ndarray,
+                              fallback_f0: float, sr: float,
                               Ra: float, Rg: float, Rk: float, guard: bool,
                               max_overlap: int, min_spacing: int = 16,
                               interpret: bool = False) -> jnp.ndarray:
@@ -261,8 +275,8 @@ def _accumulate_pulses_pallas(n_samples: int, onset: jnp.ndarray,
     n = n_samples
     m = n // min_spacing + 2
     row, pos_tab, t0_tab, t_tab, norm_tab = _compact_onset_tables(
-        n, onset, T0_track, T_track, Ra, Rg, Rk, guard, min_spacing,
-        pos_fill=float(2 * n + BLK))
+        n, onset, f0, valid_f0, fallback_f0, sr, Ra, Rg, Rk, guard,
+        min_spacing, pos_fill=float(2 * n + BLK))
 
     n_blocks = -(-n // BLK)
     n_blocks_pad = -(-n_blocks // OCTET) * OCTET
@@ -306,21 +320,22 @@ def pulse_train(f0: jnp.ndarray, sr: float,
     """
     f0 = jnp.asarray(f0, dtype=jnp.float32)
     n = f0.shape[0]
-    f0v = forward_fill(f0, f0 > 1e-6, fallback_f0)
+    valid = f0 > 1e-6
     phase = jnp.cumsum(f0 / sr)
     onset = _onsets_from_phase(phase)
-    T = 1.0 / jnp.maximum(f0v, 1e-6)
-    T0 = jnp.clip(jnp.round(sr * T), config.PULSE_T0_MIN, config.PULSE_T0_MAX)
     if use_pallas and n >= 512:
-        return _accumulate_pulses_pallas(n, onset, T0, T, Ra, Rg, Rk,
-                                         guard=True,
+        return _accumulate_pulses_pallas(n, onset, f0, valid, fallback_f0,
+                                         sr, Ra, Rg, Rk, guard=True,
                                          max_overlap=max_overlap,
                                          min_spacing=min_spacing)
     if n >= 256:
-        return _accumulate_pulses_blocked(n, onset, T0, T, Ra, Rg, Rk,
-                                          guard=True,
+        return _accumulate_pulses_blocked(n, onset, f0, valid, fallback_f0,
+                                          sr, Ra, Rg, Rk, guard=True,
                                           max_overlap=max_overlap,
                                           min_spacing=min_spacing)
+    f0v = forward_fill(f0, valid, fallback_f0)
+    T = 1.0 / jnp.maximum(f0v, 1e-6)
+    T0 = jnp.clip(jnp.round(sr * T), config.PULSE_T0_MIN, config.PULSE_T0_MAX)
     return _accumulate_pulses(n, onset, T0, T, Ra, Rg, Rk, guard=True,
                               max_overlap=max_overlap)
 
@@ -346,27 +361,34 @@ def subharm_pulse_train(f0: jnp.ndarray, sr: float, mask: jnp.ndarray,
         semitones = [semitones]
 
     active = (mask > 0) & (f0 > 0)
-    last_f0 = forward_fill(f0, active, fallback_f0)
 
     total = jnp.zeros((n,), dtype=jnp.float32)
     for semi in semitones:
         ratio = 2.0 ** (float(semi) / 12.0)
-        sub_f0 = last_f0 * ratio
+        # at active samples the reference's forward-filled last_f0 equals
+        # the current f0, and the phase only advances (and onsets only
+        # fire) at active samples — so the filled track is never read
+        # where it differs from f0 * ratio (ref: GOOFER.py:672-698)
+        sub_f0 = f0 * ratio
         accumulating = active & (sub_f0 >= 1e-2)
         phase = jnp.cumsum(jnp.where(accumulating, sub_f0 / sr, 0.0))
         onset = _onsets_from_phase(phase) & accumulating
-        T = 1.0 / jnp.maximum(sub_f0, 1e-6)
-        T0 = jnp.clip(jnp.round(sr * T), config.PULSE_T0_MIN,
-                      config.PULSE_T0_MAX)
         if use_pallas and n >= 512:
             total = total + _accumulate_pulses_pallas(
-                n, onset, T0, T, Ra=0.02, Rg=1.7, Rk=1.0, guard=False,
+                n, onset, sub_f0, accumulating, fallback_f0 * ratio, sr,
+                Ra=0.02, Rg=1.7, Rk=1.0, guard=False,
                 max_overlap=max_overlap, min_spacing=min_spacing)
         elif n >= 256:
             total = total + _accumulate_pulses_blocked(
-                n, onset, T0, T, Ra=0.02, Rg=1.7, Rk=1.0, guard=False,
+                n, onset, sub_f0, accumulating, fallback_f0 * ratio, sr,
+                Ra=0.02, Rg=1.7, Rk=1.0, guard=False,
                 max_overlap=max_overlap, min_spacing=min_spacing)
         else:
+            last_f0 = forward_fill(f0, active, fallback_f0)
+            sub_full = last_f0 * ratio
+            T = 1.0 / jnp.maximum(sub_full, 1e-6)
+            T0 = jnp.clip(jnp.round(sr * T), config.PULSE_T0_MIN,
+                          config.PULSE_T0_MAX)
             total = total + _accumulate_pulses(
                 n, onset, T0, T, Ra=0.02, Rg=1.7, Rk=1.0, guard=False,
                 max_overlap=max_overlap)

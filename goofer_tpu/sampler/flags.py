@@ -38,6 +38,13 @@ def midi_to_hz(m):
     return 440.0 * 2.0 ** ((np.asarray(m, dtype=np.float64) - 69.0) / 12.0)
 
 
+def _clampf(v, lo, hi) -> float:
+    """Scalar clamp: np.clip on Python scalars costs ~10 us each and the
+    flag decode runs per note on the phrase-planning hot path."""
+    v = float(v)
+    return lo if v < lo else (hi if v > hi else v)
+
+
 def _ci_get(flags: dict, name: str, default=0):
     """Case-insensitive flag lookup used by several decode sites."""
     val = next((v for k, v in flags.items() if k.lower() == name.lower()),
@@ -102,9 +109,9 @@ class NoteParams:
 
         f = parse_flags(flags)
 
-        fst = float(np.clip(_ci_get(f, "fst"), -100, 100)) / 100.0
+        fst = _clampf(_ci_get(f, "fst"), -100, 100) / 100.0
         strengths = tuple(
-            float(np.clip(fst + _ci_get(f, name) / 100.0, -1.0, 1.0))
+            _clampf(fst + _ci_get(f, name) / 100.0, -1.0, 1.0)
             for name in ("fsta", "fstb", "fstc", "fstd"))
 
         sh = f.get("sh", None)
@@ -139,29 +146,28 @@ class NoteParams:
             sd_strength=float(f.get("sd", 0) or 0),
             breathiness_mix=((f.get("B", 0) or 0) + 100) / 100.0,
             unvoiced_mix=((f.get("U", 0) or 0) + 100) / 100.0,
-            harmonic_mix=float(np.clip(
+            harmonic_mix=_clampf(
                 f.get("V", 100) if f.get("V", 100) is not None else 100,
-                0, 100)) / 100.0,
+                0, 100) / 100.0,
             loop_mode=loop_mode,
             tension=(f.get("st", 0) or 0) / 100.0,
             subharm_weight=(sg / 100.0) * 1.5,
             add_subharm=sg > 0,
             reverse=f.get("R", 0) == 1,
-            growl_mix=float(np.clip(f.get("sj", 0) or 0, 0, 100)) / 100.0,
-            aperiodic_mix=float(np.clip(f.get("sa", 0) or 0, 0, 100)) / 100.0,
-            subharm_gain=float(np.clip(f.get("su", 0) or 0, 0, 100)) / 100.0,
-            normalize=(float(np.clip(f["P"], 0, 100)) / 100.0
+            growl_mix=_clampf(f.get("sj", 0) or 0, 0, 100) / 100.0,
+            aperiodic_mix=_clampf(f.get("sa", 0) or 0, 0, 100) / 100.0,
+            subharm_gain=_clampf(f.get("su", 0) or 0, 0, 100) / 100.0,
+            normalize=(_clampf(f["P"], 0, 100) / 100.0
                        if f.get("P") is not None else 1.0),
-            env_shape=float(np.clip(_ci_get(f, "es"), -100, 100)) / 100.0,
+            env_shape=_clampf(_ci_get(f, "es"), -100, 100) / 100.0,
             force_voiced=f.get("FV", 0) == 1,
-            pitch_dyn=float(int(np.clip(_ci_get(f, "pd"), -100, 100))) / 100.0,
+            pitch_dyn=float(int(_clampf(_ci_get(f, "pd"), -100, 100))) / 100.0,
             formant_width=((f.get("fw", 0) or 0) / 100.0) * 0.1,
             formant_strengths=strengths,
             t_cents=float(f.get("t", 0) or 0),
             fry_amount=float(f.get("vf", 0) or 0),
             fry_base_hz=max(1.0, float(f.get("vh", 50) or 50)),
-            fry_glide_pct=float(np.clip(float(f.get("vl", 15) or 15),
-                                        0.0, 100.0)),
+            fry_glide_pct=_clampf(f.get("vl", 15) or 15, 0.0, 100.0),
         )
 
     @property

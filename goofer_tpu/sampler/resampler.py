@@ -9,6 +9,8 @@ four synthesis layers and every post-filter — is ONE fused jitted graph
 """
 from __future__ import annotations
 
+import math
+
 import logging
 from pathlib import Path
 
@@ -536,7 +538,7 @@ class GooferResampler:
             pd_ref = 1.0
 
         # --- fry weights ------------------------------------------------
-        vf = float(np.clip(p.fry_amount, -100.0, 100.0))
+        vf = min(100.0, max(-100.0, float(p.fry_amount)))
         fry_on = vf != 0.0
 
         def build_fry():
@@ -560,7 +562,7 @@ class GooferResampler:
 
         # --- statics + scalars ----------------------------------------
         tension_sign = 0 if p.tension == 0 else (1 if p.tension > 0 else -1)
-        tension_order = int(np.clip(np.round(1 + abs(p.tension) * 4), 1, 6))
+        tension_order = int(min(6, max(1, round(1 + abs(p.tension) * 4))))
 
         # pulse-overlap bound from the f0 range this note can produce:
         # longest pulse ~ sr/f0_floor samples, onsets up to f0_ceil/sr per
@@ -579,12 +581,12 @@ class GooferResampler:
         # subharmonics run at 2x f0 (semitones=12): same ratio, covered.
         ratio = f0_ceil / f0_floor
         max_overlap = config.bucket_overlap(
-            int(np.clip(np.ceil(0.804 * ratio) + 2, 3, 32)))
+            int(min(32, max(3, math.ceil(0.804 * ratio) + 2))))
         # growl layer: f0 * 0.5 * 2**N(0, mix^2); bound the spread at 3
         # sigma each way (tails only lose low-amplitude pulse ends)
         spread = 2.0 ** (6.0 * p.growl_mix ** 2) if p.growl_mix > 0 else 1.0
-        growl_max_overlap = config.bucket_overlap(int(np.clip(
-            np.ceil(0.804 * ratio * spread) + 2, 3, 32)))
+        growl_max_overlap = config.bucket_overlap(int(min(32, max(3,
+            math.ceil(0.804 * ratio * spread) + 2))))
         # onset-spacing floor from the same f0 ceiling: sizes the pulse
         # kernel's compact tables (m = n/spacing rows to gather)
         min_spacing = config.bucket_min_spacing(int(sr / max(f0_ceil, 1.0)))
@@ -681,7 +683,7 @@ class GooferResampler:
         if vf > 0:
             L = int(round(n * (vf / 100.0)))
             if L > 0:
-                glide = int(np.clip(int(round(L * (vl / 100.0))), 0, L))
+                glide = min(L, max(0, int(round(L * (vl / 100.0)))))
                 const = L - glide
                 base_w[:const] = 1.0
                 if glide > 0:
@@ -690,7 +692,7 @@ class GooferResampler:
         else:
             L = int(round(n * (abs(vf) / 100.0)))
             if L > 0:
-                glide = int(np.clip(int(round(L * (vl / 100.0))), 0, L))
+                glide = min(L, max(0, int(round(L * (vl / 100.0)))))
                 const = L - glide
                 start = n - L
                 if glide > 0:

@@ -17,11 +17,8 @@ pytestmark = pytest.mark.slow
 
 def _prep(f0, sr):
     f0 = jnp.asarray(f0, dtype=jnp.float32)
-    f0v = forward_fill(f0, f0 > 1e-6, config.PULSE_FALLBACK_F0)
     onset = _onsets_from_phase(jnp.cumsum(f0 / sr))
-    T = 1.0 / jnp.maximum(f0v, 1e-6)
-    T0 = jnp.clip(jnp.round(sr * T), 3, 8192)
-    return onset, T0, T
+    return onset, f0, f0 > 1e-6
 
 
 @pytest.mark.parametrize("f0_hz", [220.3, 97.1])
@@ -30,9 +27,10 @@ def test_pallas_kernel_matches_oracle_constant(f0_hz):
     n = 4096
     f0 = np.full(n, f0_hz, dtype=np.float32)
     f0[: n // 8] = 0.0
-    onset, T0, T = _prep(f0, sr)
+    onset, f0j, valid = _prep(f0, sr)
     got = np.asarray(_accumulate_pulses_pallas(
-        n, onset, T0, T, 0.02, 1.7, 0.8, True, 16, interpret=True))
+        n, onset, f0j, valid, config.PULSE_FALLBACK_F0, sr,
+        0.02, 1.7, 0.8, True, 16, interpret=True))
     want = o.o_pulse_train(f0, sr)
     assert np.max(np.abs(got - want)) < 5e-3
 
@@ -44,9 +42,10 @@ def test_pallas_kernel_matches_oracle_glide_with_gap():
     f0 = (200.0 * 2 ** (0.4 * np.sin(2 * np.pi * 2.0 * t))).astype(
         np.float32)
     f0[int(0.3 * n): int(0.45 * n)] = 0.0
-    onset, T0, T = _prep(f0, sr)
+    onset, f0j, valid = _prep(f0, sr)
     got = np.asarray(_accumulate_pulses_pallas(
-        n, onset, T0, T, 0.02, 1.7, 0.8, True, 16, interpret=True))
+        n, onset, f0j, valid, config.PULSE_FALLBACK_F0, sr,
+        0.02, 1.7, 0.8, True, 16, interpret=True))
     want = o.o_pulse_train(f0, sr)
     assert np.max(np.abs(got - want)) < 5e-3
 
@@ -55,9 +54,10 @@ def test_pallas_kernel_silence():
     sr = 44100
     n = 4096
     f0 = np.zeros(n, dtype=np.float32)
-    onset, T0, T = _prep(f0, sr)
+    onset, f0j, valid = _prep(f0, sr)
     got = np.asarray(_accumulate_pulses_pallas(
-        n, onset, T0, T, 0.02, 1.7, 0.8, True, 8, interpret=True))
+        n, onset, f0j, valid, config.PULSE_FALLBACK_F0, sr,
+        0.02, 1.7, 0.8, True, 8, interpret=True))
     assert np.all(got == 0)
 
 
@@ -66,9 +66,13 @@ def test_pallas_matches_jnp_path():
     n = 8192
     f0 = np.full(n, 311.7, dtype=np.float32)
     f0[:900] = 0
-    onset, T0, T = _prep(f0, sr)
+    onset, f0j, valid = _prep(f0, sr)
     a = np.asarray(_accumulate_pulses_pallas(
-        n, onset, T0, T, 0.02, 1.7, 0.8, True, 8, interpret=True))
+        n, onset, f0j, valid, config.PULSE_FALLBACK_F0, sr,
+        0.02, 1.7, 0.8, True, 8, interpret=True))
+    f0v = forward_fill(f0j, valid, config.PULSE_FALLBACK_F0)
+    T = 1.0 / jnp.maximum(f0v, 1e-6)
+    T0 = jnp.clip(jnp.round(sr * T), 3, 8192)
     b = np.asarray(pulse_mod._accumulate_pulses(
         n, onset, T0, T, 0.02, 1.7, 0.8, True, 8))
     np.testing.assert_allclose(a, b, atol=1e-4)
