@@ -15,6 +15,8 @@ os.makedirs(cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+from dataclasses import replace
+
 from bench import _make_voicebank_sample
 from goofer_tpu import config
 from goofer_tpu.sampler.phrase import (
@@ -44,7 +46,14 @@ for rep in range(3):
     t1 = time.perf_counter()
     groups = {}
     for pl in planned:
-        groups.setdefault((pl.rs, _shape_key(pl)), []).append(pl)
+        key_rs = replace(pl.rs, min_spacing=config.PULSE_MIN_SPACING,
+                         growl_min_spacing=config.PULSE_MIN_SPACING)
+        groups.setdefault((key_rs, _shape_key(pl)), []).append(pl)
+    groups = {
+        (replace(kr, min_spacing=min(m.rs.min_spacing for m in ms),
+                 growl_min_spacing=min(m.rs.growl_min_spacing
+                                       for m in ms)), sk): ms
+        for (kr, sk), ms in groups.items()}
 
     results = []
     t_stack = 0.0
