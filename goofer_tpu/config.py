@@ -87,17 +87,19 @@ def bucket_overlap(k: int) -> int:
 
 
 # Assumed minimum pulse-onset spacing (samples): sizes the compact onset
-# tables (m = n / spacing) and the per-block slab gathers.  16 is the
-# safe worst case (f0 up to ~2.75 kHz at 44.1 kHz); when the host knows
-# the note's f0 ceiling it rounds sr/f0_ceil DOWN to one of these so
-# typical notes gather ~4-8x fewer table rows.
+# tables (m = n / spacing) and the per-block slab gathers.  The default
+# 16 covers f0 up to ~2.75 kHz at 44.1 kHz; when the host knows the
+# note's f0 ceiling it rounds sr/f0_ceil DOWN to a bucket, so typical
+# pitches gather ~4-8x fewer table rows and extreme ones (heavy jitter
+# at high f0) drop to 8 instead of silently losing pulses.
 PULSE_MIN_SPACING = 16
-PULSE_MIN_SPACING_BUCKETS = (16, 32, 64, 128, 256)
+PULSE_MIN_SPACING_BUCKETS = (8, 16, 32, 64, 128, 256)
 
 
 def bucket_min_spacing(s: int) -> int:
     """Round an onset-spacing bound DOWN to a bucket (smaller is always
-    safe — it only grows the tables)."""
+    safe — it only grows the tables).  Bounds below 8 (f0 ceilings past
+    ~5.5 kHz — beyond any vocal range) clamp to 8."""
     out = PULSE_MIN_SPACING_BUCKETS[0]
     for b in PULSE_MIN_SPACING_BUCKETS:
         if b <= s:

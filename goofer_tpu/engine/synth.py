@@ -85,9 +85,12 @@ class SynthStatic:
     max_overlap: int = config.PULSE_MAX_OVERLAP
     # assumed minimum pulse-onset spacing (samples), host-derived from the
     # note's f0 ceiling; sizes the compact onset tables and slab gathers.
-    # 16 is the safe worst case; the subharmonic layer (which runs up to
-    # 2x f0 plus vibrato) derives its own tighter bound from this.
+    # The subharmonic layer runs up to ratio x (1 + vibrato depth) x
+    # (1 + jitter strength) denser, so callers that know those host-side
+    # values derive ``subharm_min_spacing`` too; its default 8 is the
+    # pre-adaptive worst case.
     pulse_min_spacing: int = config.PULSE_MIN_SPACING
+    subharm_min_spacing: int = 8
     # bucketed rendering: ``n`` is a padded length bucket and the true
     # note length rides in as the traced knob ``n_true``; stems are
     # zeroed past it BEFORE peak normalization, so notes of different
@@ -192,17 +195,9 @@ def _synth_body(st: SynthStatic, env_spec, f0_interp, voicing_mask,
                 f0_sub, sr, knobs["subharm_vibrato_rate"],
                 knobs["subharm_vibrato_depth"], st.subharm_vibrato_delay)
         sub_mask = mask * valid_in if st.masked else mask
-        # subharmonic onsets can be up to ratio x vibrato x jitter denser
-        # than the main train; shrink its spacing bound accordingly
-        sub_ratio = max(2.0 ** (float(s) / 12.0)
-                        for s in st.subharm_semitones)
-        sub_margin = sub_ratio * 1.5  # vibrato depth up to ~7 semitones
-        if st.subharm_f0_jitter_on:
-            sub_margin *= 2.0
-        sub_spacing = max(8, int(st.pulse_min_spacing / sub_margin))
         pulse = pulse + subharm_pulse_train(
             f0_sub, sr, sub_mask, list(st.subharm_semitones),
-            knobs["subharm_weight"], min_spacing=sub_spacing)
+            knobs["subharm_weight"], min_spacing=st.subharm_min_spacing)
 
     if st.masked:
         # cut the excitation at the true end and write the reflect pad

@@ -112,9 +112,23 @@ def synthesize(env_spec, f0_interp, voicing_mask, y, sr,
         f0_ceil, ratio = 160.0, 1.0
     max_overlap = config_mod.bucket_overlap(
         int(np.clip(np.ceil(0.804 * ratio) + 2, 3, 32)))
-    # onset-spacing floor from the same ceiling (sizes the pulse tables)
+    # onset-spacing floor from the same ceiling (sizes the pulse tables);
+    # the subharmonic layer runs ratio x (1 + vibrato depth) x
+    # (1 + jitter) denser — all host-known here
     min_spacing = config_mod.bucket_min_spacing(
         int(sr / max(f0_ceil, 1.0)))
+    if add_subharm:
+        sub_ratio = max(2.0 ** (float(s_) / 12.0)
+                        for s_ in subharm_semitones)
+        sub_ceil = f0_ceil * max(sub_ratio, 1e-6)
+        if subharm_vibrato:
+            sub_ceil *= 1.0 + abs(float(subharm_vibrato_depth))
+        if float(subharm_f0_jitter) > 0.0:
+            sub_ceil *= 1.0 + abs(float(subharm_f0_jitter))
+        subharm_min_spacing = config_mod.bucket_min_spacing(
+            int(sr / max(sub_ceil, 1.0)))
+    else:
+        subharm_min_spacing = 8
 
     st = SynthStatic(
         sr=int(sr), n_fft=n_fft, hop=hop_length, n=out_len,
@@ -144,6 +158,7 @@ def synthesize(env_spec, f0_interp, voicing_mask, y, sr,
         rough_alpha_slew_ms=float(rough_alpha_slew_ms),
         max_overlap=max_overlap,
         pulse_min_spacing=min_spacing,
+        subharm_min_spacing=subharm_min_spacing,
     )
     knobs = {
         "pitch_shift": pitch_shift,

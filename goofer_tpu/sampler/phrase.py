@@ -94,6 +94,34 @@ def _shape_key(pl: "_Planned") -> tuple:
     return tuple(np.asarray(pl.arrays[k]).shape for k in ARRAY_ORDER)
 
 
+# statics that only size the pulse kernel's onset tables: grouping
+# ignores them (smaller is always safe) and each group harmonizes to its
+# most conservative member, so a melody spanning octaves shares graphs
+_SPACING_FIELDS = ("min_spacing", "growl_min_spacing",
+                   "subharm_min_spacing")
+
+
+def _spacing_neutral(rs):
+    return replace(rs, **{f: config.PULSE_MIN_SPACING
+                          for f in _SPACING_FIELDS})
+
+
+def group_planned(planned) -> dict:
+    """Group planned notes by (graph signature, array shapes), ignoring
+    the pulse-spacing statics, then harmonize each group's spacing to its
+    most conservative (smallest) member.  Returns {(rs, shape_key):
+    [planned...]} where rs is the harmonized RenderStatic to compile."""
+    groups: dict = {}
+    for pl in planned:
+        groups.setdefault((_spacing_neutral(pl.rs), _shape_key(pl)),
+                          []).append(pl)
+    return {
+        (replace(key_rs, **{f: min(getattr(m.rs, f) for m in members)
+                            for f in _SPACING_FIELDS}), sk): members
+        for (key_rs, sk), members in groups.items()
+    }
+
+
 def plan_phrase(notes, n_fft: int = config.SAMPLER_N_FFT,
                 hop: int = config.SAMPLER_HOP,
                 bucket: bool | str = "auto"):
@@ -135,7 +163,7 @@ def plan_phrase(notes, n_fft: int = config.SAMPLER_N_FFT,
         planned.append(_Planned(i, rs, arrays, scalars))
 
     if bucket == "auto":
-        bucket = len({(pl.rs, _shape_key(pl))
+        bucket = len({(_spacing_neutral(pl.rs), _shape_key(pl))
                       for pl in planned}) > AUTO_BUCKET_GEOMETRIES
     if bucket:
         for pl in planned:
@@ -164,24 +192,7 @@ def render_phrase(notes, n_fft: int = config.SAMPLER_N_FFT,
     ``pcm16=True`` quantizes to int16 PCM on device — the actual payload
     of the output WAVs — halving device->host transfer."""
     planned, _ = plan_phrase(notes, n_fft, hop, bucket=bucket)
-
-    # group ignoring the pulse-spacing statics, then harmonize each group
-    # to its most conservative (smallest) spacing: notes of different
-    # pitch would otherwise split groups over a static that only sizes
-    # the pulse tables (smaller is always safe, merely a bit more work)
-    groups: dict = {}
-    for pl in planned:
-        key_rs = replace(pl.rs, min_spacing=config.PULSE_MIN_SPACING,
-                         growl_min_spacing=config.PULSE_MIN_SPACING)
-        groups.setdefault((key_rs, _shape_key(pl)), []).append(pl)
-    groups = {
-        (replace(key_rs,
-                 min_spacing=min(m.rs.min_spacing for m in members),
-                 growl_min_spacing=min(m.rs.growl_min_spacing
-                                       for m in members)),
-         sk): members
-        for (key_rs, sk), members in groups.items()
-    }
+    groups = group_planned(planned)
 
     outs: list = [None] * len(planned)
 

@@ -84,6 +84,7 @@ class RenderStatic:
     # sizes the pulse kernel's compact tables — see ops/pulse.py
     min_spacing: int = config.PULSE_MIN_SPACING
     growl_min_spacing: int = config.PULSE_MIN_SPACING
+    subharm_min_spacing: int = 8
     # bucketed geometry: n / t_env are padded buckets; the true note
     # length arrives as the traced scalar ``n_true`` and padding is
     # masked out of every normalization and the final output
@@ -249,6 +250,7 @@ def render_note_core(rs: RenderStatic,
         formant_shift_on=rs.formant_shift_on,
         max_overlap=rs.max_overlap,
         pulse_min_spacing=rs.min_spacing,
+        subharm_min_spacing=rs.subharm_min_spacing,
         masked=rs.masked,
     )
     knobs = default_knobs()

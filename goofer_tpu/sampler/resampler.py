@@ -592,6 +592,10 @@ class GooferResampler:
         min_spacing = config.bucket_min_spacing(int(sr / max(f0_ceil, 1.0)))
         growl_min_spacing = config.bucket_min_spacing(int(sr / max(
             f0_ceil * 0.5 * spread, 1.0)))
+        # subharmonic layer: semitones=12 (2x) with vibrato depth 3
+        # (peak f0 x (1 + depth)) hardcoded at the main synth call
+        subharm_min_spacing = config.bucket_min_spacing(int(sr / max(
+            f0_ceil * 2.0 * 4.0, 1.0)))
 
         rs = RenderStatic(
             sr=sr, n_fft=self.n_fft, hop=hop, n=n_total, t_env=t_env,
@@ -617,6 +621,7 @@ class GooferResampler:
             growl_max_overlap=growl_max_overlap,
             min_spacing=min_spacing,
             growl_min_spacing=growl_min_spacing,
+            subharm_min_spacing=subharm_min_spacing,
         )
 
         one = cached(("zeros1",), lambda: np.zeros(1, dtype=np.float32))

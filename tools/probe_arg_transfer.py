@@ -17,11 +17,9 @@ jax.config.update("jax_compilation_cache_dir", cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from bench import _make_voicebank_sample
-from dataclasses import replace
-
 from goofer_tpu import config
 from goofer_tpu.sampler.phrase import (
-    ARRAY_ORDER, NoteSpec, _batched_core, _shape_key, plan_phrase)
+    ARRAY_ORDER, NoteSpec, _batched_core, group_planned, plan_phrase)
 from goofer_tpu.sampler.render_core import default_scalars
 
 sr = 44100
@@ -32,15 +30,8 @@ scale = ["C4", "D4", "E4", "F4", "G4", "A4", "B4", "C5", "A3", "G3"]
 notes = [NoteSpec(src, scale[i % len(scale)], length=500, consonant=60,
                   flags=f"t{(i % 7 - 3) * 10}") for i in range(50)]
 planned, _ = plan_phrase(notes)
-groups = {}
-for pl in planned:
-    key_rs = replace(pl.rs, min_spacing=config.PULSE_MIN_SPACING,
-                     growl_min_spacing=config.PULSE_MIN_SPACING)
-    groups.setdefault((key_rs, _shape_key(pl)), []).append(pl)
-(key_rs, _sk), members = next(iter(groups.items()))
-rs = replace(key_rs, min_spacing=min(m.rs.min_spacing for m in members),
-             growl_min_spacing=min(m.rs.growl_min_spacing
-                                   for m in members))
+groups = group_planned(planned)
+(rs, _sk), members = next(iter(groups.items()))
 b = len(members)
 keys_np = np.stack([np.zeros(b, np.uint32),
                     np.arange(b, dtype=np.uint32)], axis=1)

@@ -15,12 +15,10 @@ os.makedirs(cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-from dataclasses import replace
-
 from bench import _make_voicebank_sample
 from goofer_tpu import config
 from goofer_tpu.sampler.phrase import (
-    ARRAY_ORDER, NoteSpec, _batched_core, _shape_key, plan_phrase,
+    ARRAY_ORDER, NoteSpec, _batched_core, group_planned, plan_phrase,
     render_phrase)
 from goofer_tpu.sampler.render_core import default_scalars
 
@@ -44,16 +42,7 @@ for rep in range(3):
     t0 = time.perf_counter()
     planned, _ = plan_phrase(notes)
     t1 = time.perf_counter()
-    groups = {}
-    for pl in planned:
-        key_rs = replace(pl.rs, min_spacing=config.PULSE_MIN_SPACING,
-                         growl_min_spacing=config.PULSE_MIN_SPACING)
-        groups.setdefault((key_rs, _shape_key(pl)), []).append(pl)
-    groups = {
-        (replace(kr, min_spacing=min(m.rs.min_spacing for m in ms),
-                 growl_min_spacing=min(m.rs.growl_min_spacing
-                                       for m in ms)), sk): ms
-        for (kr, sk), ms in groups.items()}
+    groups = group_planned(planned)
 
     results = []
     t_stack = 0.0

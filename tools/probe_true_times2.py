@@ -70,18 +70,21 @@ bench("pulse prefix (ffill+cumsum+onset) b50",
       lambda f: sum(jnp.sum(x.astype(jnp.float32))
                     for x in jax.vmap(prefix)(f)), f0_d)
 
-onset, T0, T = jax.jit(jax.vmap(prefix))(f0_d)
+onset, _T0, _T = jax.jit(jax.vmap(prefix))(f0_d)
 
 
-def tables(o, a, b):
-    outs = _compact_onset_tables(n, o, a, b, Ra, Rg, Rk, True, 16)
+def tables(o, f):
+    outs = _compact_onset_tables(n, o, f, f > 1e-6,
+                                 config.PULSE_FALLBACK_F0, sr,
+                                 Ra, Rg, Rk, True, 16)
     return sum(jnp.sum(x.astype(jnp.float32)) for x in outs[1:])
 
 
-bench("pulse compact tables b50", jax.vmap(tables), onset, T0, T)
+bench("pulse compact tables b50", jax.vmap(tables), onset, f0_d)
 bench("pulse blocked accumulate b50",
-      jax.vmap(lambda o, a, b: _accumulate_pulses_blocked(
-          n, o, a, b, Ra, Rg, Rk, True, 8)), onset, T0, T)
+      jax.vmap(lambda o, f: _accumulate_pulses_blocked(
+          n, o, f, f > 1e-6, config.PULSE_FALLBACK_F0, sr,
+          Ra, Rg, Rk, True, 8)), onset, f0_d)
 
 S1 = jax.device_put((rng.standard_normal((B, n_bins, t_frames))
                      + 1j * rng.standard_normal((B, n_bins, t_frames))
