@@ -232,3 +232,39 @@ def test_subharm_pulses_match_oracle():
     want = o.o_subharm_pulses(f0, sr, mask, 12, 0.75)
     err = np.max(np.abs(got - want))
     assert err < 5e-3, f"max abs err {err}"
+
+
+def test_bucket_min_spacing_rounds_down():
+    from goofer_tpu import config as cfg
+
+    assert cfg.bucket_min_spacing(200) == 128
+    assert cfg.bucket_min_spacing(64) == 64
+    assert cfg.bucket_min_spacing(63) == 32
+    # bounds tighter than 16 degrade to bigger tables, not lost pulses
+    assert cfg.bucket_min_spacing(14) == 8
+    assert cfg.bucket_min_spacing(1) == 8
+
+
+def test_subharm_dense_track_needs_small_spacing():
+    """With vibrato depth 3 the subharm f0 peaks at 4x; a spacing bound
+    sized without that margin drops pulses.  The safe bound (8) is the
+    ground truth here."""
+    sr = 44100
+    n = 16000
+    t = np.arange(n) / sr
+    base = np.full(n, 880.0, np.float32)
+    vib = (1.0 + 3.0 * np.sin(2 * np.pi * 75.0 * t)).astype(np.float32)
+    f0 = base * np.clip(vib, 1e-3, None)      # peaks ~3.5 kHz
+    mask = np.ones(n, np.float32)
+    safe = np.asarray(pulse.subharm_pulse_train(
+        jnp.asarray(f0), sr, jnp.asarray(mask), semitones=0, weight=1.0,
+        min_spacing=8))
+    loose = np.asarray(pulse.subharm_pulse_train(
+        jnp.asarray(f0), sr, jnp.asarray(mask), semitones=0, weight=1.0,
+        min_spacing=32))
+    # the loose bound measurably drops pulse energy on this track,
+    # proving the bound matters; the sampler derives 8 for this ceiling
+    assert np.abs(safe - loose).max() > 1e-3
+    from goofer_tpu import config as cfg
+
+    assert cfg.bucket_min_spacing(int(sr / (880.0 * 4.0))) == 8

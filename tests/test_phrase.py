@@ -58,3 +58,21 @@ def test_phrase_mixed_flags_still_batch(vb):
     f2 = SR / _dominant_period(outs[1][len(outs[1]) // 2:], SR)
     assert abs(f1 - 261.63 * 2 ** (0.5 / 12)) / f1 < 0.03
     assert abs(f2 - 293.66 * 2 ** (-0.5 / 12)) / f2 < 0.03
+
+
+def test_octave_span_shares_graphs(vb):
+    """Notes spanning octaves derive different pulse-spacing statics; the
+    phrase renderer must harmonize them into ONE group per geometry
+    instead of splitting compiled graphs."""
+    from goofer_tpu.sampler.phrase import group_planned
+
+    notes = [NoteSpec(str(vb / "a.wav"), p, length=300)
+             for p in ("A3", "C4", "A4", "C5")]
+    planned, _ = plan_phrase(notes)
+    assert len({pl.rs.min_spacing for pl in planned}) > 1  # they differ
+    groups = group_planned(planned)
+    assert len(groups) == 1
+    (rs, _sk), members = next(iter(groups.items()))
+    assert len(members) == 4
+    # harmonized to the most conservative member
+    assert rs.min_spacing == min(pl.rs.min_spacing for pl in planned)
