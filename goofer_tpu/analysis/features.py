@@ -40,6 +40,29 @@ from goofer_tpu.ops.interp import gather_lerp
 from goofer_tpu.ops.stft import stft
 
 
+def _packed(graph, example_args):
+    """Wrap a multi-output analysis graph so ONE flat f32 vector leaves
+    the device: on this image every d2h fetch costs a ~29 ms tunnel
+    round trip, so fetching 6 outputs separately dominated warm
+    extraction (docs/PERFORMANCE.md).  Returns (packed_fn, shapes,
+    split_points); the host splits/reshapes after a single fetch."""
+    shapes = jax.eval_shape(graph, *example_args)
+    sizes = [int(np.prod(sh.shape)) for sh in shapes]
+    splits = list(np.cumsum(sizes)[:-1])
+
+    def packed(*args):
+        outs = graph(*args)
+        return jnp.concatenate(
+            [o.reshape(-1).astype(jnp.float32) for o in outs])
+
+    return packed, shapes, splits
+
+
+def _unpack(flat_np, shapes, splits):
+    parts = np.split(flat_np, splits)
+    return [p.reshape(sh.shape) for p, sh in zip(parts, shapes)]
+
+
 @functools.lru_cache(maxsize=32)
 def _analysis_graph(n: int, sr: int, n_fft: int, hop: int, f0_min: float,
                     f0_merge_range: int, with_formants: bool):
@@ -90,7 +113,9 @@ def _analysis_graph(n: int, sr: int, n_fft: int, hop: int, f0_min: float,
         return env_spec, f0_interp, voicing_mask, tracks, log_env, \
             jnp.stack(errs)
 
-    return jax.jit(graph), k_values
+    packed, shapes, splits = _packed(
+        graph, (jax.ShapeDtypeStruct((n,), jnp.float32),))
+    return jax.jit(packed), k_values, shapes, splits
 
 
 @functools.lru_cache(maxsize=32)
@@ -168,7 +193,14 @@ def _analysis_graph_bucketed(n_pad: int, sr: int, n_fft: int, hop: int,
         return env_spec, f0_interp, voicing_mask, tracks, log_env, \
             jnp.stack(errs)
 
-    return jax.jit(jax.vmap(graph)), k_values
+    packed, shapes, splits = _packed(graph, (
+        jax.ShapeDtypeStruct((n_pad,), jnp.float32),
+        jax.ShapeDtypeStruct((), jnp.float32),
+        jax.ShapeDtypeStruct((pf_pad,), jnp.int32),
+        jax.ShapeDtypeStruct((), jnp.int32),
+        jax.ShapeDtypeStruct((ff_pad,), jnp.int32),
+    ))
+    return jax.jit(jax.vmap(packed)), k_values, shapes, splits
 
 
 def extract_features(y, sr: int, n_fft: int = 1024, hop_length: int = 256,
@@ -178,40 +210,24 @@ def extract_features(y, sr: int, n_fft: int = 1024, hop_length: int = 256,
     with the reference's shapes and dtypes (NumPy on the way out)."""
     y = np.asarray(y, dtype=np.float32)
     n = len(y)
-    graph, k_values = _analysis_graph(n, int(sr), n_fft, hop_length,
-                                      float(f0_min), int(f0_merge_range),
-                                      bool(with_formants))
-    env_spec, f0_interp, voicing_mask, tracks, log_env, errs = graph(
-        jnp.asarray(y))
+    graph, k_values, shapes, splits = _analysis_graph(
+        n, int(sr), n_fft, hop_length, float(f0_min),
+        int(f0_merge_range), bool(with_formants))
+    flat = np.asarray(graph(jnp.asarray(y)))          # ONE d2h round trip
+    env_spec, f0_interp, voicing_mask, tracks, log_env, errs = _unpack(
+        flat, shapes, splits)
 
-    errs = np.asarray(errs)
-    chosen = k_values[-1]
-    for k, e in zip(k_values, errs):
-        if e < KNOT_EPS:
-            chosen = int(k)
-            break
-    n_bins = n_fft // 2 + 1
-    bin_idx = _knot_bin_idx(sr, n_fft, chosen, n_bins)
-    knot_rows = np.asarray(log_env[jnp.asarray(bin_idx), :])
-    env_knots = {
-        "mode": "knots",
-        "knot_vals_log": knot_rows.astype(np.float16),
-        "hz_knots": mel_knot_freqs(sr, n_fft, chosen),
-        "n_bins": int(n_bins),
-        "n_fft": int(n_fft),
-        "sr": int(sr),
-    }
+    env_knots = _pick_knots(log_env, errs, k_values, sr, n_fft)
 
-    tracks = np.asarray(tracks)
-    t_frames = np.asarray(env_spec).shape[1]
+    t_frames = env_spec.shape[1]
     if tracks.shape[1] < t_frames:
         tracks = np.pad(tracks, ((0, 0), (0, t_frames - tracks.shape[1])))
     else:
         tracks = tracks[:, :t_frames]
     formants = {i + 1: tracks[i] for i in range(tracks.shape[0])}
 
-    return (np.asarray(env_spec), np.asarray(f0_interp, dtype=np.float64),
-            np.asarray(voicing_mask, dtype=np.float64), formants, env_knots)
+    return (env_spec, f0_interp.astype(np.float64),
+            voicing_mask.astype(np.float64), formants, env_knots)
 
 
 def _pick_knots(log_env: np.ndarray, errs: np.ndarray, k_values,
@@ -272,7 +288,7 @@ def extract_features_batch(ys, sr: int, n_fft: int = 1024,
     for n_pad, group in sorted(by_bucket.items()):
         pf_pad = n_pad // hop_length + 2
         ff_pad = n_pad // hop_length + 2
-        graph, k_values = _analysis_graph_bucketed(
+        graph, k_values, shapes, splits = _analysis_graph_bucketed(
             n_pad, int(sr), n_fft, hop_length, float(f0_min),
             int(f0_merge_range), bool(with_formants), pf_pad, ff_pad)
         for c0 in range(0, len(group), chunk):
@@ -300,14 +316,15 @@ def extract_features_batch(ys, sr: int, n_fft: int = 1024,
                 f_starts[j, :fnf] = fstarts
                 f_starts[j, fnf:] = fstarts[-1]
 
-            env_b, f0_b, mask_b, tracks_b, log_b, errs_b = graph(
-                yb, n_true, p_starts, p_nf, f_starts)
-            env_b = np.asarray(env_b)
-            f0_b = np.asarray(f0_b)
-            mask_b = np.asarray(mask_b)
-            tracks_b = np.asarray(tracks_b)
-            log_b = np.asarray(log_b)
-            errs_b = np.asarray(errs_b)
+            flat_b = np.asarray(graph(
+                yb, n_true, p_starts, p_nf, f_starts))  # ONE fetch/chunk
+            rows_np = [_unpack(row, shapes, splits) for row in flat_b]
+            env_b = [r[0] for r in rows_np]
+            f0_b = [r[1] for r in rows_np]
+            mask_b = [r[2] for r in rows_np]
+            tracks_b = [r[3] for r in rows_np]
+            log_b = [r[4] for r in rows_np]
+            errs_b = [r[5] for r in rows_np]
 
             for j, (idx, y) in enumerate(part):
                 n = len(y)

@@ -46,7 +46,7 @@ def test_fifty_distinct_lengths_four_compiles():
         if n_pad in seen:
             continue
         seen.add(n_pad)
-        graph, _ = F._analysis_graph_bucketed(
+        graph, _, _, _ = F._analysis_graph_bucketed(
             n_pad, SR, 1024, 256, 75.0, 2, True,
             n_pad // 256 + 2, n_pad // 256 + 2)
         compiles += graph._cache_size()
