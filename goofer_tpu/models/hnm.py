@@ -24,6 +24,9 @@ from goofer_tpu.ops.interp import resample_1d, resample_2d
 from goofer_tpu.analysis.features import extract_features  # noqa: F401
 
 
+_stack4 = jax.jit(lambda a, b, c, d: jnp.stack([a, b, c, d]))
+
+
 def _stretch_all(env, env4b_placeholder, f0, mask, stretch, start_sec,
                  end_sec, sr, hop):
     """Whole-signal or span time stretch of features
@@ -178,5 +181,7 @@ def synthesize(env_spec, f0_interp, voicing_mask, y, sr,
     }
     mix, harm, uv, bre = _synth(st, env, f0, mask, jnp.asarray(tracks),
                                 knobs, key=jax.random.PRNGKey(seed))
-    return (np.asarray(mix), np.asarray(harm), np.asarray(uv),
-            np.asarray(bre))
+    # stack on device and fetch ONCE: each d2h fetch costs a ~29 ms
+    # tunnel round trip on this image (docs/PERFORMANCE.md)
+    stems = np.asarray(_stack4(mix, harm, uv, bre))
+    return (stems[0], stems[1], stems[2], stems[3])
