@@ -54,7 +54,43 @@ class RequestHandler(BaseHTTPRequestHandler):
         self.end_headers()
 
 
-def run(port: int = config.SERVER_PORT):
+def _background_warmup():
+    """Compile the common render graphs before the first request.
+
+    The reference warms its Numba kernels at import (ref: GOOFER.py:1224,
+    test.py:6); the XLA equivalent is rendering one tiny synthetic note
+    through the full pipeline so an editor's first real request doesn't
+    pay the cold compile.  Runs in a daemon thread; failures only mean
+    the first request compiles instead."""
+    import os
+    import tempfile
+    import traceback as _tb
+
+    import numpy as np
+
+    try:
+        from goofer_tpu.sampler.resampler import GooferResampler
+        from goofer_tpu.utils.audio_io import write_wav
+
+        sr = 44100
+        tmp = tempfile.mkdtemp(prefix="goofer_warmup_")
+        src = os.path.join(tmp, "w.wav")
+        t = np.arange(int(0.4 * sr)) / sr
+        y = 0.3 * np.sign(np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+        write_wav(src, y, sr)
+        GooferResampler(src, os.path.join(tmp, "out.wav"), "C4", 100, "",
+                        0, 300, 60, 0, 100, 0, "!120", "AA")
+        print("Warmup render done; graphs compiled.", flush=True)
+    except Exception:
+        print(f"Warmup render failed (first request will compile):\n"
+              f"{_tb.format_exc()}", flush=True)
+
+
+def run(port: int = config.SERVER_PORT, warmup: bool = True):
+    import threading
+
     httpd = ThreadedHTTPServer(("", port), RequestHandler)
+    if warmup:
+        threading.Thread(target=_background_warmup, daemon=True).start()
     print(f"Starting HTTP server on port {port}...")
     httpd.serve_forever()
