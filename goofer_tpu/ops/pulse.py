@@ -291,13 +291,6 @@ def _accumulate_pulses_pallas(n_samples: int, onset: jnp.ndarray,
     return out[:n]
 
 
-def _use_pallas_default() -> bool:
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
-
-
 def pulse_train(f0: jnp.ndarray, sr: float,
                 Ra: float = config.PULSE_RA,
                 Rg: float = config.PULSE_RG,
