@@ -61,6 +61,7 @@ class _Planned:
 
 
 _batched_core_cache: dict = {}
+_plan_memo: dict = {}
 
 
 def _batched_core(rs, axes: tuple, pcm16: bool = False):
@@ -148,19 +149,37 @@ def plan_phrase(notes, n_fft: int = config.SAMPLER_N_FFT,
             feature_cache[spec.in_file] = (feats, forms_c, rev)
         feats, forms_c, rev = feature_cache[spec.in_file]
         env, f0i, vmask, forms, sr, ylen = feats
-        r = GooferResampler(
-            spec.in_file, "/dev/null", spec.pitch, spec.velocity,
-            spec.flags, spec.offset, spec.length, spec.consonant,
-            spec.cutoff, spec.volume, spec.modulation, spec.tempo,
-            spec.pitch_string, n_fft=n_fft, hop=hop, autorender=False)
-        if r.params.reverse:
-            env_use, f0_use, mask_use, forms_use = rev
-        else:
-            env_use, f0_use, mask_use, forms_use = env, f0i, vmask, forms_c
-        rs, arrays, scalars = r.prepare(env_use, f0_use, mask_use,
-                                        forms_use, sr, ylen,
-                                        cache=prep_cache)
-        planned.append(_Planned(i, rs, arrays, scalars))
+        # cross-call plan memo: keyed on the note spec + the IDENTITY of
+        # the memoized feature tuple (a .goofy edit reloads features as a
+        # new object, so stale plans can't be served).  Repeat renders of
+        # the same notes — server previews, steady-state reps — skip the
+        # flag decode and cut/loop/pitch planning entirely; arrays stay
+        # the SAME objects, preserving in_axes=None dedupe across calls.
+        mkey = (id(feats), spec.pitch, spec.velocity, spec.flags,
+                spec.offset, spec.length, spec.consonant, spec.cutoff,
+                spec.volume, spec.modulation, spec.tempo,
+                spec.pitch_string, n_fft, hop)
+        hit = _plan_memo.get(mkey)
+        if hit is None:
+            r = GooferResampler(
+                spec.in_file, "/dev/null", spec.pitch, spec.velocity,
+                spec.flags, spec.offset, spec.length, spec.consonant,
+                spec.cutoff, spec.volume, spec.modulation, spec.tempo,
+                spec.pitch_string, n_fft=n_fft, hop=hop, autorender=False)
+            if r.params.reverse:
+                env_use, f0_use, mask_use, forms_use = rev
+            else:
+                env_use, f0_use, mask_use, forms_use = (env, f0i, vmask,
+                                                        forms_c)
+            rs, arrays, scalars = r.prepare(env_use, f0_use, mask_use,
+                                            forms_use, sr, ylen,
+                                            cache=prep_cache)
+            if len(_plan_memo) > 4096:
+                _plan_memo.clear()
+            # pin feats so its id() stays unique while the entry lives
+            hit = (rs, arrays, scalars, feats)
+            _plan_memo[mkey] = hit
+        planned.append(_Planned(i, hit[0], hit[1], hit[2]))
 
     if bucket == "auto":
         bucket = len({(_spacing_neutral(pl.rs), _shape_key(pl))

@@ -76,3 +76,21 @@ def test_octave_span_shares_graphs(vb):
     assert len(members) == 4
     # harmonized to the most conservative member
     assert rs.min_spacing == min(pl.rs.min_spacing for pl in planned)
+
+
+def test_plan_memo_reuses_across_calls(vb):
+    """Replanning identical notes must return the SAME array objects
+    (cross-call memo) and identical plans; a different flag misses."""
+    from goofer_tpu.sampler import phrase as P
+
+    notes = [NoteSpec(str(vb / "a.wav"), "C4", length=300, flags="t10")]
+    plan_phrase(notes)      # first plan may extract (exact env); later
+    p1, _ = plan_phrase(notes)   # plans load the knot-decoded .goofy
+    p2, _ = plan_phrase(notes)
+    assert p1[0].rs == p2[0].rs
+    for k in P.ARRAY_ORDER:
+        assert p1[0].arrays[k] is p2[0].arrays[k]
+    p3, _ = plan_phrase([NoteSpec(str(vb / "a.wav"), "C4", length=300,
+                                  flags="t20")])
+    assert not np.array_equal(np.asarray(p3[0].arrays["pitch_ticks"]),
+                              np.asarray(p1[0].arrays["pitch_ticks"]))
