@@ -113,6 +113,38 @@ def main():
     }), flush=True)
     _log(f"reps (x realtime): {[round(r, 1) for r in rtfs]}")
 
+    # second metric: the same 60 s scale with every note carrying the
+    # 11-flag stack (texture + layers + tension + fry + dynamics — the
+    # flag surface that makes this engine interesting).  VERDICT r1
+    # item 2: the north-star claim must hold for flag-heavy renders at
+    # phrase scale, where the ~40 ms RTT+fetch floor amortizes.
+    heavy = "sh30sr30sg40su40sj20st-30vf40es30pd40fw20fsta50"
+    heavy_notes = [
+        NoteSpec(src, scale[i % len(scale)], length=690, consonant=60,
+                 flags=heavy + f"t{(i % 7 - 3) * 10}")
+        for i in range(80)                   # 80 x 0.75 s = 60 s
+    ]
+    heavy_audio = sum((n.consonant + n.length) / 1000.0 for n in heavy_notes)
+    t0 = time.perf_counter()
+    render_phrase(heavy_notes, pcm16=True)
+    _log(f"flag-heavy warmup (11-flag stack, 80 notes): "
+         f"{time.perf_counter() - t0:.1f}s")
+    heavy_rtfs = []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        outs = render_phrase(heavy_notes, pcm16=True)
+        elapsed = time.perf_counter() - t0
+        assert all(np.abs(o).max() > 0 for o in outs)
+        heavy_rtfs.append(heavy_audio / elapsed)
+        _log(f"flag-heavy rep {rep}: {elapsed:.3f}s for "
+             f"{heavy_audio:.1f}s audio -> {heavy_rtfs[-1]:.1f}x realtime")
+    print(json.dumps({
+        "metric": "realtime_factor_60s_phrase_11flag_stack",
+        "value": round(max(heavy_rtfs), 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(max(heavy_rtfs) / 100.0, 3),
+    }), flush=True)
+
     # secondary (stderr-only): randomized note lengths — geometry
     # bucketing must keep compile count and throughput sane on phrases
     # with NO repeated note geometry (VERDICT r1 item 3)

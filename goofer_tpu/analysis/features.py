@@ -123,7 +123,7 @@ def _analysis_graph_bucketed(n_pad: int, sr: int, n_fft: int, hop: int,
                              f0_min: float, f0_merge_range: int,
                              with_formants: bool, pf_pad: int, ff_pad: int):
     """Bucket-padded, vmapped analysis graph: one compile serves every
-    file whose length rounds up to ``n_pad`` (SURVEY §7 / VERDICT r1
+    file whose length rounds up to ``n_pad`` (SURVEY §7 / an earlier perf-review
     item 4).  Waveforms carry trailing zeros; the pitch/formant frame
     grids are host-computed from each file's TRUE length (windows never
     read padding), padded to static frame buckets, and the Viterbi passes

@@ -81,8 +81,12 @@ def main(argv=None) -> int:
         if len(argv) < 13:
             raise TypeError(f"Expected 13 arguments but got {len(argv)}")
 
+        from goofer_tpu.editor.gui import available_interactive_hook
         from goofer_tpu.sampler.resampler import GooferResampler
-        GooferResampler(*argv[:13])
+        # SE1 blocks on the voicing editor mid-render like the reference
+        # (SillySampler.py:581-611) whenever a display is available.
+        GooferResampler(*argv[:13],
+                        editor_hook=available_interactive_hook())
         return 0
     except TypeError as e:
         log.error("Argument parsing failed: %s", str(e))

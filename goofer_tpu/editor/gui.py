@@ -25,6 +25,17 @@ from goofer_tpu.utils.audio_io import AUDIO_EXTS, read_wav_mono
 
 log = logging.getLogger("goofer_tpu")
 
+_PREVIEW_COMBINE = None  # jitted (a+b+c)*0.5, built once (ADVICE r1: a fresh
+                         # jax.jit per preview re-traced + recompiled every call)
+
+
+def _preview_combine():
+    global _PREVIEW_COMBINE
+    if _PREVIEW_COMBINE is None:
+        import jax
+        _PREVIEW_COMBINE = jax.jit(lambda a, b, c: (a + b + c) * 0.5)
+    return _PREVIEW_COMBINE
+
 
 def _preview_synthesis(env_dense, f0, mask, forms, sr,
                        n_fft=1024, hop=256) -> np.ndarray:
@@ -68,8 +79,7 @@ def _preview_synthesis(env_dense, f0, mask, forms, sr,
         pad_n(mask), jnp.asarray(pad_t(tracks)),
         knobs={"n_true": float(n)})
     # sum on device, fetch once (each fetch is a ~29 ms tunnel RTT)
-    out = np.asarray(jax.jit(lambda a, b, c: (a + b + c) * 0.5)(
-        harm, uv, bre))
+    out = np.asarray(_preview_combine()(harm, uv, bre))
     return out[:n]
 
 
@@ -292,6 +302,27 @@ class VoicingEditorUI:
                   f"zoom={self.zoom:.1f}x"))
         page = (b - a) / self.n
         self.scrollbar.set(self.scroll, min(1.0, self.scroll + page))
+
+
+def available_interactive_hook():
+    """Return ``interactive_voicing`` when a blocking GUI editor can
+    actually open (tkinter importable + a display present), else None.
+
+    This is the production default ``editor_hook`` for the CLI/server
+    (ref: SillySampler.py:581-611 unconditionally blocks on the tkinter
+    editor during a render when the SE flag is set; headless
+    environments get a logged skip instead of a crash)."""
+    import os
+    import sys
+
+    if sys.platform not in ("win32", "darwin") and not (
+            os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY")):
+        return None
+    try:
+        import tkinter  # noqa: F401
+    except Exception:  # pragma: no cover - tkinter always importable here
+        return None
+    return interactive_voicing
 
 
 def interactive_voicing(y_snippet, sr, init_mask=None,

@@ -88,6 +88,38 @@ def _onsets_from_phase(phase: jnp.ndarray) -> jnp.ndarray:
     return k > k_prev
 
 
+def _two_sum(a, b):
+    """Knuth error-free transform: a + b = s + err exactly."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _df_combine(x, y):
+    xh, xl = x
+    yh, yl = y
+    s, e = _two_sum(xh, yh)
+    e = e + xl + yl
+    hi = s + e
+    lo = e - (hi - s)
+    return hi, lo
+
+
+def _phase_cumsum(df: jnp.ndarray) -> jnp.ndarray:
+    """Drift-free running phase: double-float (TwoSum-compensated)
+    associative scan, ~2^-45-relative accumulated error vs ~1e-3 cycles
+    for a plain f32 cumsum by the end of a 0.5 s note.  The reference
+    accumulates its phase in float64 (GOOFER.py:504-506); without this,
+    integer-crossing (pulse onset) decisions near sample boundaries
+    flip between the f32 and f64 accumulations and single onsets land
+    one sample off (tests/test_resample_oracle.py caught exactly that
+    on an exact-220 Hz note)."""
+    hi, lo = jax.lax.associative_scan(
+        _df_combine, (df, jnp.zeros_like(df)))
+    return hi + lo
+
+
 def _accumulate_pulses(n_samples: int, onset: jnp.ndarray,
                        T0_track: jnp.ndarray, T_track: jnp.ndarray,
                        Ra: float, Rg: float, Rk: float, guard: bool,
@@ -314,7 +346,7 @@ def pulse_train(f0: jnp.ndarray, sr: float,
     f0 = jnp.asarray(f0, dtype=jnp.float32)
     n = f0.shape[0]
     valid = f0 > 1e-6
-    phase = jnp.cumsum(f0 / sr)
+    phase = _phase_cumsum(f0 / sr)
     onset = _onsets_from_phase(phase)
     if use_pallas and n >= 512:
         return _accumulate_pulses_pallas(n, onset, f0, valid, fallback_f0,
@@ -364,7 +396,7 @@ def subharm_pulse_train(f0: jnp.ndarray, sr: float, mask: jnp.ndarray,
         # where it differs from f0 * ratio (ref: GOOFER.py:672-698)
         sub_f0 = f0 * ratio
         accumulating = active & (sub_f0 >= 1e-2)
-        phase = jnp.cumsum(jnp.where(accumulating, sub_f0 / sr, 0.0))
+        phase = _phase_cumsum(jnp.where(accumulating, sub_f0 / sr, 0.0))
         onset = _onsets_from_phase(phase) & accumulating
         if use_pallas and n >= 512:
             total = total + _accumulate_pulses_pallas(

@@ -15,6 +15,7 @@ OpenUtau-driven interactive use.
 """
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, replace
 from functools import partial
 from pathlib import Path
@@ -30,7 +31,8 @@ from goofer_tpu.sampler.render_core import render_note_core, default_scalars
 
 ARRAY_ORDER = (
     "env_cut", "f0_cut", "mask_cut", "env_pos0", "env_pos1", "env_w",
-    "samp_pos", "vel_env_pos", "vel_samp_pos", "tracks", "pitch_ticks",
+    "samp_pos", "vel_env_pos", "vel_samp_pos", "tracks", "tracks_raw",
+    "pitch_ticks",
     "fry_base_w", "fry_frame_w", "fry_mask", "pd_bend",
 )
 
@@ -60,6 +62,12 @@ class _Planned:
     scalars: dict
 
 
+# Shared across the ThreadingMixIn server's handler threads and the
+# dispatch pool, so every get/insert (and the clear-when-full sweep)
+# happens under a lock; readers keep their own reference to the hit, so
+# a concurrent clear can never yank an entry mid-use (SURVEY §5 race
+# bar; tests/test_server.py::test_concurrent_posts).
+_cache_lock = threading.Lock()
 _batched_core_cache: dict = {}
 _plan_memo: dict = {}
 
@@ -70,7 +78,8 @@ def _batched_core(rs, axes: tuple, pcm16: bool = False):
     once instead of stacked B times.  ``pcm16`` appends on-device int16
     quantization (the WAV payload dtype)."""
     key = (rs, axes, pcm16)
-    fn = _batched_core_cache.get(key)
+    with _cache_lock:
+        fn = _batched_core_cache.get(key)
     if fn is None:
         core = partial(render_note_core, rs)
         if pcm16:
@@ -79,8 +88,13 @@ def _batched_core(rs, axes: tuple, pcm16: bool = False):
                 q = jnp.clip(out, -1.0, 32767.0 / 32768.0) * 32768.0
                 return jnp.round(q).astype(jnp.int16)
             core = core_pcm
+        # jax.jit is lazy (tracing happens at first call), so building
+        # the wrapper outside the lock costs only a duplicate wrapper on
+        # a race — both compile to the same executable via jax's own
+        # C++ jit cache.
         fn = jax.jit(jax.vmap(core, in_axes=axes + (0, 0)))
-        _batched_core_cache[key] = fn
+        with _cache_lock:
+            fn = _batched_core_cache.setdefault(key, fn)
     return fn
 
 
@@ -159,7 +173,8 @@ def plan_phrase(notes, n_fft: int = config.SAMPLER_N_FFT,
                 spec.offset, spec.length, spec.consonant, spec.cutoff,
                 spec.volume, spec.modulation, spec.tempo,
                 spec.pitch_string, n_fft, hop)
-        hit = _plan_memo.get(mkey)
+        with _cache_lock:
+            hit = _plan_memo.get(mkey)
         if hit is None:
             r = GooferResampler(
                 spec.in_file, "/dev/null", spec.pitch, spec.velocity,
@@ -174,11 +189,12 @@ def plan_phrase(notes, n_fft: int = config.SAMPLER_N_FFT,
             rs, arrays, scalars = r.prepare(env_use, f0_use, mask_use,
                                             forms_use, sr, ylen,
                                             cache=prep_cache)
-            if len(_plan_memo) > 4096:
-                _plan_memo.clear()
             # pin feats so its id() stays unique while the entry lives
             hit = (rs, arrays, scalars, feats)
-            _plan_memo[mkey] = hit
+            with _cache_lock:
+                if len(_plan_memo) > 4096:
+                    _plan_memo.clear()
+                _plan_memo[mkey] = hit
         planned.append(_Planned(i, hit[0], hit[1], hit[2]))
 
     if bucket == "auto":

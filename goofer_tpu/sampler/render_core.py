@@ -118,6 +118,12 @@ def default_scalars() -> dict:
         "unvoiced_mix": 1.0,
         "volume": 1.0,
         "aperiodic_mix": 0.0,
+        # engine noise-strength knobs (ref synthesize defaults,
+        # GOOFER.py:975).  Exposed as traced scalars so tests can zero
+        # the noise stems and compare the deterministic chain against
+        # the NumPy reference oracle to float accuracy (o_resample).
+        "uv_strength": 0.75,
+        "breath_strength": 0.1,
     }
 
 
@@ -168,14 +174,54 @@ def _apply_plan(src, pos0, pos1, w, axis=-1):
     return a * (1.0 - w) + b * w
 
 
+def assemble_f0_mask(rs: RenderStatic, f0_cut, mask_cut, samp_pos,
+                     vel_samp_pos, fry_base_w, pitch_ticks, scalars):
+    """The f0/voicing half of the render front: tick-curve interpolation,
+    loop/velocity gathers, Hz conversion gated by voicing, fry override
+    (ref: SillySampler.py:835-855, 883-935).  Factored out so tests can
+    fetch the EXACT per-sample f0 the pulse kernel will integrate (pulse
+    onset positions are decided at f32-quantization scale, so a host
+    restatement is not bit-faithful).  Returns (midi_curve, f0_new,
+    mask_new)."""
+    sc = scalars
+    n = rs.n
+    tick_pos = jnp.clip(
+        jnp.arange(n, dtype=jnp.float32) / sc["tick_dt_samp"],
+        0.0, sc["n_ticks"] - 1.0)
+    midi_curve = gather_lerp(pitch_ticks.astype(jnp.float32), tick_pos,
+                             axis=0)
+    f0_new = gather_lerp(f0_cut.astype(jnp.float32), samp_pos, axis=0)
+    mask_new = gather_lerp(mask_cut.astype(jnp.float32), samp_pos, axis=0)
+    if rs.vel_on:
+        f0_new = gather_lerp(f0_new, vel_samp_pos, axis=0)
+        mask_new = gather_lerp(mask_new, vel_samp_pos, axis=0)
+
+    # pitch curve -> Hz, gated by voicing (ref: SillySampler.py:848-855)
+    hz_curve = 440.0 * 2.0 ** ((midi_curve - 69.0) / 12.0)
+    f0_new = mask_new * hz_curve
+
+    if rs.fry_on:
+        fry_base = sc["fry_vh"] * (mask_new > 0).astype(jnp.float32)
+        f0_new = (1.0 - fry_base_w) * f0_new + fry_base_w * fry_base
+    return midi_curve, f0_new, mask_new
+
+
 def render_note_core(rs: RenderStatic,
                      env_cut, f0_cut, mask_cut,
                      env_pos0, env_pos1, env_w,
                      samp_pos, vel_env_pos, vel_samp_pos,
-                     tracks, pitch_ticks, fry_base_w, fry_frame_w, fry_mask,
+                     tracks, tracks_raw, pitch_ticks,
+                     fry_base_w, fry_frame_w, fry_mask,
                      pd_bend, scalars, key):
     """One fused note render; see module docstring.  All array args are
     device arrays shaped per RenderStatic; returns the final waveform.
+
+    ``tracks`` are the sanitized F1..F4 tracks (formant-strength bells,
+    ref SillySampler.py:802-806); ``tracks_raw`` the canon'd unsanitized
+    tracks the per-band envelope warps read (the reference passes
+    ``formants_new`` — pre-sanitize — to gf.synthesize at
+    SillySampler.py:1015, so zero/invalid frames DROP their warp anchor
+    instead of being interpolated over).
 
     ``pitch_ticks`` is the UTAU tick-rate pitch curve in MIDI semitones
     (edge-padded; true tick count in ``scalars["n_ticks"]``); the
@@ -185,13 +231,10 @@ def render_note_core(rs: RenderStatic,
     sc = scalars
     k_main, k_su, k_sj, k_sa, k_sd, k_noise = jax.random.split(key, 6)
 
-    # per-sample MIDI curve from tick-rate data (ref semantics:
-    # np.interp over [0, t_max] clamped, SillySampler.py:835-855)
-    tick_pos = jnp.clip(
-        jnp.arange(n, dtype=jnp.float32) / sc["tick_dt_samp"],
-        0.0, sc["n_ticks"] - 1.0)
-    midi_curve = gather_lerp(pitch_ticks.astype(jnp.float32), tick_pos,
-                             axis=0)
+    # f0/voicing half (tick curve, gathers, Hz gate, fry override)
+    _, f0_new, mask_new = assemble_f0_mask(
+        rs, f0_cut, mask_cut, samp_pos, vel_samp_pos, fry_base_w,
+        pitch_ticks, sc)
 
     env = env_cut.astype(jnp.float32)
     if rs.tilt_on:
@@ -202,20 +245,12 @@ def render_note_core(rs: RenderStatic,
         env = _fw_warp(env, sc["fw_amount"])
 
     env_new = _apply_plan(env, env_pos0, env_pos1, env_w, axis=-1)
-    f0_new = gather_lerp(f0_cut.astype(jnp.float32), samp_pos, axis=0)
-    mask_new = gather_lerp(mask_cut.astype(jnp.float32), samp_pos, axis=0)
     if rs.vel_on:
         env_new = gather_lerp(env_new, vel_env_pos, axis=-1)
-        f0_new = gather_lerp(f0_new, vel_samp_pos, axis=0)
-        mask_new = gather_lerp(mask_new, vel_samp_pos, axis=0)
 
     if rs.strengths_on:
         env_new = env_new * _strength_gain(env_new.shape[0], tracks,
                                            sc["formant_strengths"], sr)
-
-    # pitch curve -> Hz, gated by voicing (ref: SillySampler.py:848-855)
-    hz_curve = 440.0 * 2.0 ** ((midi_curve - 69.0) / 12.0)
-    f0_new = mask_new * hz_curve
 
     # pd: pitch-driven dynamics (ref: SillySampler.py:857-881).  The
     # smoothed bend curve and its 95th-percentile scale are host-computed
@@ -230,10 +265,9 @@ def render_note_core(rs: RenderStatic,
         vmask_s = gaussian_blur1d(mask_new, float(int(0.01 * sr)))
         dyn_gain = 1.0 + (dyn_gain - 1.0) * vmask_s
 
-    # vocal fry f0 override + envelope shift (ref: SillySampler.py:883-996)
+    # vocal fry envelope shift (f0 override already applied in
+    # assemble_f0_mask; ref: SillySampler.py:883-996)
     if rs.fry_on:
-        fry_base = sc["fry_vh"] * (mask_new > 0).astype(jnp.float32)
-        f0_new = (1.0 - fry_base_w) * f0_new + fry_base_w * fry_base
         env_new = fry_env_shift(env_new, fry_frame_w, 0.92)
 
     # ---- main synthesis ----------------------------------------------
@@ -255,6 +289,8 @@ def render_note_core(rs: RenderStatic,
     )
     knobs = default_knobs()
     knobs.update({
+        "uv_strength": sc["uv_strength"],
+        "breath_strength": sc["breath_strength"],
         "formant_shift": sc["formant_shift"],
         "formant_band_shifts": sc["formant_band_shifts"],
         "f0_jitter_strength": sc["f0_jitter_strength"],
@@ -269,7 +305,7 @@ def render_note_core(rs: RenderStatic,
         knobs["n_true"] = sc["n_true"]
     knobs = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in knobs.items()}
     _, harmonic, aper_uv, aper_bre = synth_core_impl(
-        st_main, env_new, f0_new, mask_new, tracks, knobs, k_main)
+        st_main, env_new, f0_new, mask_new, tracks_raw, knobs, k_main)
 
     st_layer = SynthStatic(
         sr=sr, n_fft=n_fft, hop=hop, n=n,
@@ -287,7 +323,7 @@ def render_note_core(rs: RenderStatic,
     # su: sub-octave layer (ref: SillySampler.py:1037-1059)
     if rs.su_on:
         _, harm_sub, _, _ = synth_core_impl(
-            st_layer, env_new, f0_new * 0.5, mask_new, tracks,
+            st_layer, env_new, f0_new * 0.5, mask_new, tracks_raw,
             layer_knobs, k_su)
         f0_hp = jnp.maximum(f0_new, 120.0)
         for _ in range(2):
@@ -309,7 +345,7 @@ def render_note_core(rs: RenderStatic,
         )
         _, harm_gw, _, _ = synth_core_impl(
             st_growl, env_new, f0_new * (0.5 * 2.0 ** noise), mask_new,
-            tracks, layer_knobs, k_sj)
+            tracks_raw, layer_knobs, k_sj)
         f0_hp = jnp.maximum(f0_new, 120.0)
         for _ in range(2):
             harm_gw = dynamic_butter_filter(harm_gw, f0_hp, sr, 1.0,
@@ -378,7 +414,7 @@ def render_note_core(rs: RenderStatic,
         ap_knobs["uv_strength"] = jnp.float32(1.0)
         ap_knobs["breath_strength"] = jnp.float32(1.0)
         _, _, uv_u, bre_u = synth_core_impl(
-            st_ap, env_new, f0_new, jnp.ones_like(mask_new), tracks,
+            st_ap, env_new, f0_new, jnp.ones_like(mask_new), tracks_raw,
             ap_knobs, k_sa)
         mix = sc["aperiodic_mix"]
         out = out * (1.0 - mix) + (uv_u + bre_u) * sc["volume"] * mix
@@ -406,6 +442,7 @@ def render_note(rs: RenderStatic, arrays: dict, scalars: dict, key):
         rs, arrays["env_cut"], arrays["f0_cut"], arrays["mask_cut"],
         arrays["env_pos0"], arrays["env_pos1"], arrays["env_w"],
         arrays["samp_pos"], arrays["vel_env_pos"], arrays["vel_samp_pos"],
-        arrays["tracks"], arrays["pitch_ticks"], arrays["fry_base_w"],
+        arrays["tracks"], arrays["tracks_raw"], arrays["pitch_ticks"],
+        arrays["fry_base_w"],
         arrays["fry_frame_w"], arrays["fry_mask"], arrays["pd_bend"],
         sc, key)

@@ -36,13 +36,17 @@ class RequestHandler(BaseHTTPRequestHandler):
         self.end_headers()
 
     def do_POST(self):
+        from goofer_tpu.editor.gui import available_interactive_hook
         from goofer_tpu.sampler.resampler import GooferResampler
 
         content_length = int(self.headers["Content-Length"])
         body = self.rfile.read(content_length).decode("utf-8")
         try:
             args = split_arguments(body)
-            GooferResampler(*args)
+            # SE1 opens the blocking editor when a display exists, same
+            # contract as the CLI path (ref: SillySampler.py:581-611).
+            GooferResampler(*args,
+                            editor_hook=available_interactive_hook())
         except Exception:
             trcbk = traceback.format_exc()
             self.send_response(500)

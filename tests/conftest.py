@@ -9,12 +9,16 @@ host-device-count flag works from here.
 """
 import os
 
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+if os.environ.get("GOOFER_TPU_TEST_PLATFORM") != "tpu":
+    # default: virtual 8-CPU mesh.  Set GOOFER_TPU_TEST_PLATFORM=tpu to
+    # keep the real chip (for the TPU-gated smoke tests, e.g.
+    # test_pallas_pulse.py::test_pallas_compiled_on_tpu).
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
-import jax  # noqa: E402
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")

@@ -40,6 +40,49 @@ def test_post_renders_note(server, tmp_path):
     assert np.max(np.abs(y)) > 0.01
 
 
+def test_concurrent_posts(server, tmp_path):
+    """N parallel POSTs against the threaded server: exercises the
+    locked module caches (_plan_memo/_batched_core_cache/_decoded_cache)
+    under real handler-thread concurrency (SURVEY §5 race bar,
+    VERDICT r1 item 7).  Mixes two sources and two flag strings so both
+    cache-hit and cache-miss paths race."""
+    wavs = []
+    for i in range(2):
+        w = tmp_path / f"src{i}.wav"
+        _make_sample(w, f0=220.0 + 40.0 * i)
+        wavs.append(w)
+
+    def post(j):
+        out = tmp_path / f"out{j}.wav"
+        flags = "g0" if j % 2 else "t20B60"
+        body = (f"{wavs[j % 2]} {out} C4 100 {flags} 0 300 50 0 100 0 "
+                f"!120 AA")
+        req = urllib.request.Request(server, data=body.encode(),
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            assert resp.status == 200
+        y, sr = read_wav(out)
+        assert sr == 44100 and len(y) > 0
+        return j
+
+    threads = []
+    errors = []
+
+    def run(j):
+        try:
+            post(j)
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append((j, e))
+
+    for j in range(8):
+        t = threading.Thread(target=run, args=(j,))
+        t.start()
+        threads.append(t)
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+
+
 def test_post_bad_args_returns_500(server):
     req = urllib.request.Request(server, data=b"garbage", method="POST")
     try:

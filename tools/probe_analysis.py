@@ -16,7 +16,7 @@ rng = np.random.default_rng(0)
 y = jnp.asarray(rng.standard_normal(N).astype(np.float32))
 
 from goofer_tpu.analysis.features import _analysis_graph
-g, kv = _analysis_graph(N, SR, NFFT, HOP, 75.0, 2, True)
+g, kv, _shapes, _splits = _analysis_graph(N, SR, NFFT, HOP, 75.0, 2, True)
 t0 = time.perf_counter()
 g.lower(y).compile()
 print(f"{'FUSED analysis graph':34s} compile={time.perf_counter()-t0:7.2f}s", flush=True)
