@@ -176,9 +176,20 @@ def formant_graph(y: jnp.ndarray, sr: float, dt: float,
     a = _burg_coeffs(frames, order, wlen)
     roots = _poly_roots_dk(a, order)
 
+    # convergence guard (fixed DK iteration budget): a root whose
+    # polynomial residual stayed large is junk — drop it so the frame
+    # reports 0.0 for that formant, matching the reference's None->0.0
+    # semantics (ref: GOOFER.py:777-781) instead of shipping noise.
+    c = a.astype(jnp.complex64)
+    pz = jnp.zeros_like(roots) + c[:, 0:1]
+    for i in range(1, order + 1):
+        pz = pz * roots + c[:, i:i + 1]
+    coeff_scale = jnp.sum(jnp.abs(a), axis=1, keepdims=True) + 1e-12
+    converged = jnp.abs(pz) <= 1e-3 * coeff_scale
+
     freqs = jnp.angle(roots) * sr2 / (2.0 * np.pi)      # (F, order)
     nyq = sr2 / 2.0
-    ok = (freqs > 50.0) & (freqs < nyq - 50.0)
+    ok = (freqs > 50.0) & (freqs < nyq - 50.0) & converged
     freqs = jnp.where(ok, freqs, jnp.inf)
     freqs = jnp.sort(freqs, axis=1)[:, :max_formants]
     freqs = jnp.where(jnp.isfinite(freqs), freqs, 0.0)

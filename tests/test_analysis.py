@@ -81,6 +81,57 @@ def test_pitch_silence_then_tone():
     assert abs(np.median(voiced) - 300.0) < 3.0
 
 
+def test_pitch_vibrato_tracks_modulation():
+    """±100-cent vibrato at 5.5 Hz: the tracker must FOLLOW the
+    modulation, not just average it (VERDICT r1 item 5: tighten the
+    synthetic suite with vibrato/breathy/low-f0 cases)."""
+    n = int(0.8 * SR)
+    t = np.arange(n) / SR
+    f_curve = 220.0 * 2 ** ((100.0 / 1200.0) * np.sin(2 * np.pi * 5.5 * t))
+    y = _sawtooth(f_curve, 0.8)
+    f0 = pitch_mod.track_pitch(jnp.asarray(y), SR, 256 / SR)
+    centers = np.linspace(0, n / SR, len(f0))
+    want = 220.0 * 2 ** ((100.0 / 1200.0)
+                         * np.sin(2 * np.pi * 5.5 * centers))
+    sel = f0 > 0
+    sel[:3] = sel[-3:] = False
+    assert sel.mean() > 0.8
+    cents = 1200 * np.log2(f0[sel] / want[sel])
+    assert np.sqrt(np.mean(cents ** 2)) < 30.0, np.sqrt(np.mean(cents ** 2))
+    # modulation actually tracked: strong correlation with the true
+    # curve and at least 70% of the true peak-to-peak swing
+    dev_got = 1200 * np.log2(f0[sel] / 220.0)
+    dev_want = 1200 * np.log2(want[sel] / 220.0)
+    r = np.corrcoef(dev_got, dev_want)[0, 1]
+    assert r > 0.9, r
+    assert np.ptp(dev_got) > 0.7 * np.ptp(dev_want)
+
+
+def test_pitch_breathy_voice():
+    """Sawtooth buried in noise (~5 dB SNR): still detected voiced with
+    the right median pitch."""
+    y = _sawtooth(180.0, 0.6)
+    noise = 0.22 * RNG.standard_normal(len(y)).astype(np.float32)
+    yn = (y + noise).astype(np.float32)
+    f0 = pitch_mod.track_pitch(jnp.asarray(yn), SR, 256 / SR)
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 0.6 * len(f0), len(voiced) / len(f0)
+    assert abs(np.median(voiced) - 180.0) < 4.0, np.median(voiced)
+
+
+def test_pitch_low_f0():
+    """Low male/fry-range pitch just above the 75 Hz floor."""
+    y = _sawtooth(85.0, 0.7)
+    f0 = pitch_mod.track_pitch(jnp.asarray(y), SR, 256 / SR)
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 0.7 * len(f0)
+    assert abs(np.median(voiced) - 85.0) < 2.0, np.median(voiced)
+    # no octave errors in the voiced interior
+    interior = f0[4:-4]
+    interior = interior[interior > 0]
+    assert np.all(np.abs(1200 * np.log2(interior / 85.0)) < 250)
+
+
 # ------------------------------------------------------------------ formants
 
 def _vowel(f0_hz, formant_hz, bws, dur=0.5, sr=SR):
@@ -114,6 +165,29 @@ def test_formants_synthetic_vowel():
         assert abs(med - f_want) / f_want < 0.12, (k, med, f_want)
 
 
+def test_formants_breathy_vowel():
+    """Vowel resonances must survive added aspiration noise."""
+    want = [700.0, 1220.0, 2600.0]
+    y = _vowel(120.0, want, [80.0, 90.0, 120.0])
+    y = (y + 0.05 * RNG.standard_normal(len(y))).astype(np.float32)
+    tracks = formant_mod.track_formants(jnp.asarray(y), SR, 256 / SR)
+    mid = tracks[:, tracks.shape[1] // 4: -tracks.shape[1] // 4]
+    for k, f_want in enumerate(want[:2]):      # F1/F2 carry the vowel
+        vals = mid[k][mid[k] > 0]
+        assert len(vals) > 0
+        med = np.median(vals)
+        assert abs(med - f_want) / f_want < 0.15, (k, med, f_want)
+
+
+def test_formants_convergence_guard_kills_junk():
+    """Frames whose Durand-Kerner roots did not converge must report
+    0.0 (the reference's None->0.0), not noise: feed a degenerate
+    all-zero signal — every frame must come back empty or silent."""
+    y = np.zeros(SR // 4, dtype=np.float32)
+    tracks = formant_mod.track_formants(jnp.asarray(y), SR, 256 / SR)
+    assert np.isfinite(tracks).all()
+
+
 def test_durand_kerner_known_roots():
     # (z-0.5)(z-2)(z^2+1) = z^4 -2.5 z^3 + 2 z^2 -2.5 z + 1
     c = np.array([[1.0, -2.5, 2.0, -2.5, 1.0]], dtype=np.float32)
@@ -144,3 +218,46 @@ def test_extract_features_shapes_and_semantics():
     assert abs(np.median(f0i[mask > 0]) - 220) < 3
     assert knots["mode"] == "knots"
     assert knots["n_bins"] == 513
+
+
+# -------------------------------------------------- vendored Praat tracks
+
+def test_praat_ground_truth():
+    """Activates when tests/golden/ref/tracks_praat.npz exists (vendored
+    via ``tools/make_goldens.py --mode reference`` in a dep-complete
+    environment — parselmouth is absent in this image).  Budgets: voiced
+    F0 RMSE <= 15 cents against Praat's AC tracker, F1/F2 median within
+    10% against Praat's Burg tracker, on the golden source sample."""
+    from pathlib import Path
+
+    npz_path = (Path(__file__).parent / "golden" / "ref"
+                / "tracks_praat.npz")
+    if not npz_path.exists():
+        pytest.skip("no vendored Praat tracks (golden/ref)")
+    from goofer_tpu.utils.audio_io import read_wav_mono
+
+    ref = np.load(npz_path)
+    src = npz_path.parent / "src.wav"
+    y, sr = read_wav_mono(src)
+    hop = int(ref["hop"])
+
+    f0 = pitch_mod.track_pitch(jnp.asarray(y), sr, hop / sr)
+    f0_ref = ref["f0"]
+    m = min(len(f0), len(f0_ref))
+    a, b = np.asarray(f0[:m]), f0_ref[:m]
+    both = (a > 0) & (b > 0)
+    agree = ((a > 0) == (b > 0)).mean()
+    assert agree > 0.85, agree
+    cents = 1200 * np.log2(a[both] / b[both])
+    assert np.sqrt(np.mean(cents ** 2)) < 15.0, np.sqrt(np.mean(cents ** 2))
+
+    tracks = formant_mod.track_formants(jnp.asarray(y), sr, hop / sr)
+    ref_forms = ref["formants"]
+    mm = min(tracks.shape[1], ref_forms.shape[1])
+    for k in range(2):                                   # F1, F2
+        got = tracks[k, :mm]
+        want = ref_forms[k, :mm]
+        sel = (got > 0) & (want > 0)
+        assert sel.mean() > 0.5
+        med_g, med_w = np.median(got[sel]), np.median(want[sel])
+        assert abs(med_g - med_w) / med_w < 0.10, (k, med_g, med_w)

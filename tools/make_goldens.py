@@ -85,6 +85,48 @@ def gen_reference(out_dir: Path, reference: Path) -> None:
             [str(a) for a in args]
         subprocess.run(argv, check=True)
         print(f"[golden-ref] {out.name}")
+    dump_praat_tracks(out_dir, src)
+
+
+def dump_praat_tracks(out_dir: Path, src: Path) -> None:
+    """Vendor Praat ground truth for the analysis trackers (VERDICT r1
+    item 5): parselmouth F0 + Burg formant tracks of src.wav, saved as
+    tracks_praat.npz.  Requires praat-parselmouth (reference env only);
+    tests/test_analysis.py::test_praat_ground_truth activates when the
+    file exists under tests/golden/ref/."""
+    try:
+        import numpy as np
+        import parselmouth
+    except ImportError as e:
+        print(f"[golden-ref] skipping Praat tracks ({e})")
+        return
+    import soundfile as sf
+
+    y, sr = sf.read(src)
+    if y.ndim > 1:
+        y = y.mean(axis=1)
+    snd = parselmouth.Sound(y, sr)
+    hop = 256
+    # same calls the reference makes (ref: GOOFER.py:341-353, 768-792)
+    p = snd.to_pitch_ac(time_step=hop / sr, pitch_floor=75.0,
+                        voicing_threshold=0.63, silence_threshold=0.01,
+                        voiced_unvoiced_cost=0.01, pitch_ceiling=950.0)
+    f0 = p.selected_array["frequency"]
+    fobj = snd.to_formant_burg(time_step=hop / sr,
+                               max_number_of_formants=5)
+    nf = fobj.get_number_of_frames()
+    forms = np.zeros((5, nf))
+    times = np.zeros(nf)
+    for i in range(nf):
+        t = fobj.get_time_from_frame_number(i + 1)
+        times[i] = t
+        for k in range(1, 6):
+            v = fobj.get_value_at_time(k, t)
+            forms[k - 1, i] = 0.0 if v is None or v != v else v
+    np.savez(out_dir / "tracks_praat.npz", f0=f0, formants=forms,
+             formant_times=times, sr=sr, hop=hop)
+    print(f"[golden-ref] tracks_praat.npz (f0 {len(f0)} frames, "
+          f"formants {nf} frames)")
 
 
 if __name__ == "__main__":
