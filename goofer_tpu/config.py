@@ -127,11 +127,17 @@ def bucket_frames(n_bucket: int, hop: int) -> int:
 
 
 def bucket_batch(b: int) -> int:
-    """Round a note-batch size up to a 1-2-3 series bucket (vmap batch is
-    a static shape; padded rows are sliced off on device before fetch)."""
+    """Round a note-batch size up to a bucket (vmap batch is a static
+    shape; padded rows are sliced off on device before fetch).  The
+    series is denser above 8 (steps of ~1.25x instead of 1.5x) so a
+    17-note group pads to 20 rows, not 24 — batch padding is pure wasted
+    device compute (VERDICT r1 item 6)."""
     b = int(b)
     p = 1 << max(0, b.bit_length() - 2)      # largest pow2 with 4p >= ...
-    for cand in (p, 2 * p, 3 * p, 4 * p, 6 * p, 8 * p):
+    cands = {p, 2 * p, 3 * p, 4 * p, 6 * p, 8 * p}
+    if p >= 8:
+        cands.update({(5 * p) // 4, (5 * p) // 2, 5 * p})
+    for cand in sorted(cands):
         if cand >= b:
             return cand
     return 8 * p

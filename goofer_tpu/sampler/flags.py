@@ -166,8 +166,13 @@ class NoteParams:
             formant_strengths=strengths,
             t_cents=float(f.get("t", 0) or 0),
             fry_amount=float(f.get("vf", 0) or 0),
-            fry_base_hz=max(1.0, float(f.get("vh", 50) or 50)),
-            fry_glide_pct=_clampf(f.get("vl", 15) or 15, 0.0, 100.0),
+            # explicit vh0/vl0 are REAL values the reference honors
+            # (vh floors at 1 Hz, SillySampler.py:886-888) — `or`
+            # fallbacks here would silently remap 0 to the default
+            fry_base_hz=max(1.0, float(
+                f["vh"] if f.get("vh") is not None else 50)),
+            fry_glide_pct=_clampf(
+                f["vl"] if f.get("vl") is not None else 15, 0.0, 100.0),
         )
 
     @property

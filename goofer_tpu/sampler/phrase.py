@@ -201,6 +201,14 @@ def plan_phrase(notes, n_fft: int = config.SAMPLER_N_FFT,
         bucket = len({(_spacing_neutral(pl.rs), _shape_key(pl))
                       for pl in planned}) > AUTO_BUCKET_GEOMETRIES
     if bucket:
+        # NOTE: unifying all length buckets into ONE graph (padding every
+        # note to the phrase max, one dispatch instead of 2-4) was A/B
+        # measured interleaved in one process and REJECTED: the ~16%
+        # extra masked compute costs more than the saved dispatches
+        # (0.326 s vs 0.305 s median on the 40-note randomized phrase)
+        # and the big unified graph compiled 20x slower.  _bucketize
+        # keeps the n_target hook should direct-attach hardware change
+        # the trade (docs/PERFORMANCE.md).
         for pl in planned:
             pl.rs, pl.arrays = _bucketize(pl.rs, pl.arrays, prep_cache)
     return planned, feature_cache
@@ -228,6 +236,13 @@ def render_phrase(notes, n_fft: int = config.SAMPLER_N_FFT,
     of the output WAVs — halving device->host transfer."""
     planned, _ = plan_phrase(notes, n_fft, hop, bucket=bucket)
     groups = group_planned(planned)
+
+    # NOTE on fetch/compute overlap: splitting big groups into fetch
+    # chunks was measured on this image and REJECTED — the device tunnel
+    # serializes d2h transfers with execution (an 80-note heavy group:
+    # 0.62 s whole vs 0.75-0.78 s in 16/32-note chunks), so chunking
+    # only adds dispatch overhead.  On directly-attached TPUs, where
+    # transfers overlap compute, revisit (docs/PERFORMANCE.md).
 
     outs: list = [None] * len(planned)
 

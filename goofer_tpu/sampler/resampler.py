@@ -140,7 +140,8 @@ def _pad_memo(memo: dict, arr: np.ndarray, target: int, mode: str,
     return out
 
 
-def _bucketize(rs: "RenderStatic", arrays: dict, memo: dict):
+def _bucketize(rs: "RenderStatic", arrays: dict, memo: dict,
+               n_target: int | None = None):
     """Pad note geometry to shared length buckets (SURVEY §7 hard part 3).
 
     Sample counts round up to a ~1.25-ratio geometric bucket
@@ -157,8 +158,11 @@ def _bucketize(rs: "RenderStatic", arrays: dict, memo: dict):
 
     hop = rs.hop
     # n_fft//2 headroom: the masked synth writes the true-end stft reflect
-    # pad into the padded region past n_true
-    n_b = config.bucket_len(rs.n + rs.n_fft // 2)
+    # pad into the padded region past n_true.  ``n_target`` (>= rs.n)
+    # lets the phrase planner unify several length buckets into one
+    # graph when the padding waste is bounded (fewer dispatches beat
+    # masked compute on this image — see plan_phrase).
+    n_b = config.bucket_len(max(rs.n, int(n_target or 0)) + rs.n_fft // 2)
     te_b = config.bucket_frames(n_b, hop)
     if rs.t_env > te_b:                       # pathological geometry
         te_b = config.bucket_frames(config.bucket_len(rs.t_env * hop), hop)

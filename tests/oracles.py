@@ -678,27 +678,12 @@ def o_fw_warp(block, amount):
     return out
 
 
-def o_resample(features, pitch, velocity, flags="", offset=0, length=1000,
-               consonant=0, cutoff=0, volume=100, modulation=0,
-               tempo="!120", pitch_string="AA", *,
-               uv_strength=0.75, breath_strength=0.1,
-               rng=None, hop=256, n_fft=1024, collect=None):
-    """The ENTIRE reference note chain, SillySampler.py:449-1185 (with the
-    286-411 flag decode), sequential NumPy.  ``features`` is the
-    (env_dense, f0_interp, voicing_mask, formants{1..4}, sr, ylen) tuple
-    BEFORE the R-flag reverse (applied here, like ref render():438-444).
-
-    ``rng=None`` zeroes every noise phase (and is only valid for flag
-    sets without sh/sr/sj — those require noise); pass uv_strength=0,
-    breath_strength=0 and a P0 flag for bit-deterministic output.
-    Returns the final waveform (post volume/dyn-gain)."""
-    env_spec, f0_interp, voicing_mask, forms, sr, ylen = features
-    env_spec = np.asarray(env_spec, dtype=np.float64).copy()
-    f0_interp = np.asarray(f0_interp, dtype=np.float64)
-    voicing_mask = np.asarray(voicing_mask, dtype=np.float64)
-    forms = {k: np.asarray(v, dtype=np.float64) for k, v in forms.items()}
-
-    # ---- decode (SillySampler.py:294-411) ----------------------------
+def o_decode_params(pitch, velocity, flags, offset, length,
+                    consonant, cutoff, volume, modulation, tempo,
+                    pitch_string):
+    """Restated flag/arg decode (SillySampler.py:286-411); returns
+    every derived parameter as a dict (tests fuzz it against the
+    production sampler.flags.NoteParams decode)."""
     fl = o_parse_flags(flags)
     pitch_m = o_note_to_midi(pitch)
     velocity = float(velocity)
@@ -757,6 +742,85 @@ def o_resample(features, pitch, velocity, flags="", offset=0, length=1000,
                             else 50))
     vl = float(np.clip(float(fl.get("vl", 15) if fl.get("vl") is not None
                              else 15), 0.0, 100.0))
+    return dict(
+        pitch_m=pitch_m, velocity=velocity, offset=offset,
+        length=length, consonant=consonant, cutoff=cutoff,
+        volume=volume, tempo=tempo, bend=bend,
+        formant_shift=formant_shift, brightness_env=brightness_env,
+        f_shifts=f_shifts, f0_jitter_on=f0_jitter_on,
+        f0_jitter_strength=f0_jitter_strength,
+        volume_jitter_on=volume_jitter_on,
+        volume_jitter_strength=volume_jitter_strength,
+        sd_strength=sd_strength, breathiness_mix=breathiness_mix,
+        unvoiced_mix=unvoiced_mix, harmonic_mix=harmonic_mix,
+        loop_mode=loop_mode, tension=tension,
+        subharm_weight=subharm_weight, add_subharm=add_subharm,
+        reverse=reverse, growl_mix=growl_mix,
+        aperiodic_mix=aperiodic_mix, subharm_gain=subharm_gain,
+        normalize=normalize, env_shape_amt=env_shape_amt,
+        force_voiced=force_voiced, pitch_dyn=pitch_dyn,
+        formant_width=formant_width, strengths=strengths,
+        t_cents=t_cents, vf=vf, vh_val=vh_val, vl=vl,
+        use_editor=next((v for k, v in fl.items()
+                         if k.lower() == 'se'), 0) == 1,
+    )
+
+
+def o_resample(features, pitch, velocity, flags="", offset=0, length=1000,
+               consonant=0, cutoff=0, volume=100, modulation=0,
+               tempo="!120", pitch_string="AA", *,
+               uv_strength=0.75, breath_strength=0.1,
+               rng=None, hop=256, n_fft=1024, collect=None):
+    """The ENTIRE reference note chain, SillySampler.py:449-1185 (with the
+    286-411 flag decode), sequential NumPy.  ``features`` is the
+    (env_dense, f0_interp, voicing_mask, formants{1..4}, sr, ylen) tuple
+    BEFORE the R-flag reverse (applied here, like ref render():438-444).
+
+    ``rng=None`` zeroes every noise phase (and is only valid for flag
+    sets without sh/sr/sj — those require noise); pass uv_strength=0,
+    breath_strength=0 and a P0 flag for bit-deterministic output.
+    Returns the final waveform (post volume/dyn-gain)."""
+    env_spec, f0_interp, voicing_mask, forms, sr, ylen = features
+    env_spec = np.asarray(env_spec, dtype=np.float64).copy()
+    f0_interp = np.asarray(f0_interp, dtype=np.float64)
+    voicing_mask = np.asarray(voicing_mask, dtype=np.float64)
+    forms = {k: np.asarray(v, dtype=np.float64) for k, v in forms.items()}
+
+    # ---- decode (SillySampler.py:294-411) ----------------------------
+    _d = o_decode_params(pitch, velocity, flags, offset, length,
+                         consonant, cutoff, volume, modulation,
+                         tempo, pitch_string)
+    (pitch_m, velocity, offset, length, consonant, cutoff, volume,
+     tempo, bend) = (_d['pitch_m'], _d['velocity'], _d['offset'],
+                     _d['length'], _d['consonant'], _d['cutoff'],
+                     _d['volume'], _d['tempo'], _d['bend'])
+    formant_shift = _d['formant_shift']
+    brightness_env = _d['brightness_env']
+    f_shifts = _d['f_shifts']
+    f0_jitter_on = _d['f0_jitter_on']
+    f0_jitter_strength = _d['f0_jitter_strength']
+    volume_jitter_on = _d['volume_jitter_on']
+    volume_jitter_strength = _d['volume_jitter_strength']
+    sd_strength = _d['sd_strength']
+    breathiness_mix = _d['breathiness_mix']
+    unvoiced_mix = _d['unvoiced_mix']
+    harmonic_mix = _d['harmonic_mix']
+    loop_mode = _d['loop_mode']
+    tension = _d['tension']
+    subharm_weight = _d['subharm_weight']
+    add_subharm = _d['add_subharm']
+    reverse = _d['reverse']
+    growl_mix = _d['growl_mix']
+    aperiodic_mix = _d['aperiodic_mix']
+    subharm_gain = _d['subharm_gain']
+    normalize = _d['normalize']
+    env_shape_amt = _d['env_shape_amt']
+    force_voiced = _d['force_voiced']
+    pitch_dyn = _d['pitch_dyn']
+    formant_width = _d['formant_width']
+    strengths = _d['strengths']
+    t_cents = _d['t_cents']
+    vf, vh_val, vl = _d['vf'], _d['vh_val'], _d['vl']
 
     # ---- reverse (ref render():438-444) ------------------------------
     if reverse:

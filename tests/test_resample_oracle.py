@@ -85,17 +85,32 @@ NOTE_ARGS = dict(offset=50.0, length=420.0, consonant=140.0, cutoff=80.0,
 _VIB = encode_pitch_string(
     (70 * np.sin(np.linspace(0, 4 * np.pi, 40))).astype(int))
 
+# full-length continuous vibrato (256 ticks ~ 1.33 s): long notes whose
+# bend curve would otherwise clamp to a CONSTANT tail pitch park every
+# k-th pulse crossing on a near-rational sample grid, where f32-vs-f64
+# tie flips band together (PARITY.md pulse-onset ties); keeping the
+# pitch moving keeps crossings off the boundary
+_VIB_LONG = encode_pitch_string(
+    (80 * np.sin(np.linspace(0, 7 * np.pi, 256))
+     + 15 * np.linspace(0, 1, 256)).astype(int))
+
 DET_CONFIGS = [
-    # (id, pitch, velocity, flags, pitch_string, min_keep, outliers)
-    ("env-fx", "C4", 100, "br30es-40fw50g10fa15fb-10P0", "AA", 0.85, 0.0),
+    # (id, pitch, velocity, flags, pitch_string, length_ms, min_keep,
+    #  outliers).  The source tail is ~480 ms, so length > 480 drives
+    # the sustain loop (concat crossfades / mirror-avg / stretch);
+    # length 420 keeps the no-loop trim path covered.
+    ("env-fx", "C4", 100, "br30es-40fw50g10fa15fb-10P0", _VIB, 420,
+     0.85, 0.0),
     # the vibrato curve is the realistic input (UTAU always ships a
     # bend) and keeps the phase off exact integer-period ties (A3 =
     # exactly 220 Hz -> 11 periods = exactly 2205 samples, PARITY.md)
-    ("loops-vel", "A3", 145, "L2R1P0", _VIB, 0.85, 0.0),
-    ("loops-avg", "C4", 70, "L1P0", "AA", 0.85, 0.0),
-    ("fry-pd-st", "C4", 100, "vf45vh73vl40pd60st-35t30P0", _VIB, 0.85,
-     0.0),
-    ("layers", "C4", 100, "su50sd35st40fst20fsta-10P0", "AA", 0.85, 0.0),
+    ("loops-vel", "A3", 145, "L2R1P0", _VIB_LONG, 1100, 0.85, 0.0),
+    ("loops-avg", "C4", 70, "L1P0", _VIB_LONG, 1150, 0.85, 0.0),
+    ("loops-concat", "D4", 100, "L0P0", _VIB_LONG, 1200, 0.85, 0.0),
+    ("fry-pd-st", "C4", 100, "vf45vh73vl40pd60st-35t30P0", _VIB, 420,
+     0.85, 0.0),
+    ("layers", "C4", 100, "su50sd35st40fst20fsta-10P0", _VIB, 420,
+     0.85, 0.0),
     # sg's subharm layer runs at 2x f0 under a depth-3 75 Hz vibrato —
     # hundreds of steep crossings, so a handful flip at f32 scale every
     # note and each excluded window smears +-n_fft through the STFT;
@@ -103,7 +118,7 @@ DET_CONFIGS = [
     # fetched-f0 flip prediction itself approximate, so a <=0.1% outlier
     # allowance absorbs onset-grid ambiguities the mask cannot see.  The
     # kept 99.9% still pins the pulse values, envelope path and mix.
-    ("subharm", "C4", 100, "sg60P0", "AA", 0.45, 1e-3),
+    ("subharm", "C4", 100, "sg60P0", _VIB, 420, 0.45, 1e-3),
 ]
 
 def _device_f0_mask(rs, arrays, scalars):
@@ -191,11 +206,12 @@ def _flip_exclusion_mask(layers_dev, layers_ref, f0_ref, sr, n):
 
 
 def _render_production(features, pitch, velocity, flags, pitch_string,
-                       uv0=True, key=0):
+                       uv0=True, key=0, length_ms=None):
     env, f0i, vmask, forms, sr, ylen = features
     r = GooferResampler(
         "/tmp/nonexistent.wav", "/dev/null", pitch, velocity, flags,
-        NOTE_ARGS["offset"], NOTE_ARGS["length"], NOTE_ARGS["consonant"],
+        NOTE_ARGS["offset"], length_ms or NOTE_ARGS["length"],
+        NOTE_ARGS["consonant"],
         NOTE_ARGS["cutoff"], NOTE_ARGS["volume"], NOTE_ARGS["modulation"],
         NOTE_ARGS["tempo"], pitch_string, autorender=False)
     if r.params.reverse:
@@ -213,10 +229,11 @@ def _render_production(features, pitch, velocity, flags, pitch_string,
 
 
 def _render_oracle(features, pitch, velocity, flags, pitch_string,
-                   uv0=True, rng=None, collect=None):
+                   uv0=True, rng=None, collect=None, length_ms=None):
     return o.o_resample(
         features, pitch, velocity, flags,
-        NOTE_ARGS["offset"], NOTE_ARGS["length"], NOTE_ARGS["consonant"],
+        NOTE_ARGS["offset"], length_ms or NOTE_ARGS["length"],
+        NOTE_ARGS["consonant"],
         NOTE_ARGS["cutoff"], NOTE_ARGS["volume"], NOTE_ARGS["modulation"],
         NOTE_ARGS["tempo"], pitch_string,
         uv_strength=0.0 if uv0 else 0.75,
@@ -225,19 +242,20 @@ def _render_oracle(features, pitch, velocity, flags, pitch_string,
 
 
 @pytest.mark.parametrize(
-    "cfg_id,pitch,velocity,flags,ps,min_keep,outliers",
+    "cfg_id,pitch,velocity,flags,ps,length_ms,min_keep,outliers",
     DET_CONFIGS, ids=[c[0] for c in DET_CONFIGS])
 def test_resample_matches_reference_oracle(features, cfg_id, pitch,
                                            velocity, flags, ps,
-                                           min_keep, outliers):
+                                           length_ms, min_keep,
+                                           outliers):
     """Noise stems zeroed + P0: the production render must equal the
     sequential reference restatement to float accuracy everywhere
     outside flipped pulse-onset windows (see _flip_exclusion_mask)."""
     internals = {}
-    out_tpu, rs, arrays, sc = _render_production(features, pitch,
-                                                 velocity, flags, ps)
+    out_tpu, rs, arrays, sc = _render_production(
+        features, pitch, velocity, flags, ps, length_ms=length_ms)
     out_ref = _render_oracle(features, pitch, velocity, flags, ps,
-                             collect=internals)
+                             length_ms=length_ms, collect=internals)
 
     assert out_tpu.shape == out_ref.shape, (out_tpu.shape, out_ref.shape)
     n = len(out_ref)
