@@ -92,7 +92,7 @@ def main():
     _log("warmup done; timing reps")
 
     rtfs = []
-    for rep in range(4):
+    for rep in range(6):
         t0 = time.perf_counter()
         outs = render_phrase(notes, pcm16=True)
         elapsed = time.perf_counter() - t0
@@ -130,7 +130,7 @@ def main():
     _log(f"flag-heavy warmup (11-flag stack, 80 notes): "
          f"{time.perf_counter() - t0:.1f}s")
     heavy_rtfs = []
-    for rep in range(3):
+    for rep in range(4):
         t0 = time.perf_counter()
         outs = render_phrase(heavy_notes, pcm16=True)
         elapsed = time.perf_counter() - t0

@@ -168,6 +168,11 @@ def test_cli_render_and_modes(voicebank):
     assert rc == 0 and out.exists()
     # bad arg count
     assert cli.main(["a.wav", "b.wav", "C4"]) == 1
+    # malformed pitch string -> render failure, rc=1 (ref raises
+    # ValueError "Bad b64" from the UTAU decoder)
+    rc = cli.main([str(voicebank / "a.wav"), str(out), "C4", "100", "g0",
+                   "0", "400", "100", "0", "100", "0", "!120", "A!"])
+    assert rc == 1
 
 
 def test_cli_folder_extraction(tmp_path):
