@@ -18,16 +18,62 @@ import jax
 import jax.numpy as jnp
 
 
+def _affine_combine(left, right):
+    a1, b1 = left
+    a2, b2 = right
+    return a1 * a2, a2 * b1 + b2
+
+
 def first_order_recurrence(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Solve y[i] = a[i]*y[i-1] + b[i] with y[-1] = 0, vectorized."""
+    """Solve y[i] = a[i]*y[i-1] + b[i] with y[-1] = 0, vectorized.
 
-    def combine(left, right):
-        a1, b1 = left
-        a2, b2 = right
-        return a1 * a2, a2 * b1 + b2
-
-    _, y = jax.lax.associative_scan(combine, (a, b))
+    General path: one associative scan over affine maps (log-depth, but
+    every level re-streams the full (a, b) pair through HBM — measured
+    ~3.7 ms per pass at batch 69 x 33k on the v5e, and the reference's
+    "order-6" filters re-apply it six times)."""
+    _, y = jax.lax.associative_scan(_affine_combine, (a, b))
     return y
+
+
+_BLOCK = 32
+
+
+def first_order_recurrence_pos(a: jnp.ndarray, b: jnp.ndarray
+                               ) -> jnp.ndarray:
+    """first_order_recurrence for STRICTLY POSITIVE a[i] (every filter
+    here: LP decay 1-alpha and HP alpha both live in (0, 1)).
+
+    Blocked two-pass formulation: within 32-sample blocks the solution
+    is y[j] = P[j]*(carry + sum(b[k]/P[k])) with P the running
+    coefficient product, computed via log-domain NATIVE cumsums; block
+    carries compose through one tiny affine scan over n/32 elements.
+    Replaces 15 full-length scan levels with ~3 elementwise passes —
+    ~3x faster at the heavy-phrase batch shape (docs/PERFORMANCE.md).
+
+    Block size bounds the dynamic range: |log a| <= 1.35 at the 0.45*sr
+    cutoff ceiling, so exp spans at most e^43 per block — inside f32.
+    Early-sample contributions lose relative precision only where they
+    are attenuated by the same factor, so absolute error stays ~1e-6.
+    """
+    n = a.shape[0]
+    m = -(-n // _BLOCK)
+    pad = m * _BLOCK - n
+    a_p = jnp.pad(a, (0, pad), constant_values=1.0).reshape(m, _BLOCK)
+    b_p = jnp.pad(b, (0, pad)).reshape(m, _BLOCK)
+
+    logp = jnp.cumsum(jnp.log(a_p), axis=1)
+    p = jnp.exp(logp)
+    y_local = p * jnp.cumsum(b_p / p, axis=1)   # block-local, zero carry
+
+    # carry into block k = recurrence solution over whole blocks:
+    # y_end[k] = prod(a_blk[k]) * y_end[k-1] + y_local_end[k]
+    a_blk = p[:, -1]
+    b_blk = y_local[:, -1]
+    _, y_end = jax.lax.associative_scan(_affine_combine, (a_blk, b_blk))
+    carry = jnp.concatenate([jnp.zeros((1,), y_end.dtype), y_end[:-1]])
+
+    y = y_local + p * carry[:, None]
+    return y.reshape(-1)[:n]
 
 
 def one_pole_highpass(x: jnp.ndarray, sr: float, fc: float) -> jnp.ndarray:
@@ -40,7 +86,7 @@ def one_pole_highpass(x: jnp.ndarray, sr: float, fc: float) -> jnp.ndarray:
     x = jnp.asarray(x, dtype=jnp.float32)
     dx = jnp.diff(x, prepend=0.0)
     a_vec = jnp.full_like(x, a)
-    return first_order_recurrence(a_vec, a * dx)
+    return first_order_recurrence_pos(a_vec, a * dx)
 
 
 def dynamic_one_pole_cascade(x: jnp.ndarray, fc: jnp.ndarray, sr: float,
@@ -66,10 +112,10 @@ def dynamic_one_pole_cascade(x: jnp.ndarray, fc: jnp.ndarray, sr: float,
     y = x
     for _ in range(max(1, int(order))):
         if btype == "lowpass":
-            y = first_order_recurrence(1.0 - alpha, alpha * y)
+            y = first_order_recurrence_pos(1.0 - alpha, alpha * y)
         else:
             dx = jnp.diff(y, prepend=y[0:1][0])
-            y = first_order_recurrence(alpha, alpha * dx)
+            y = first_order_recurrence_pos(alpha, alpha * dx)
     return y
 
 

@@ -113,7 +113,7 @@ def _shape_key(pl: "_Planned") -> tuple:
 # ignores them (smaller is always safe) and each group harmonizes to its
 # most conservative member, so a melody spanning octaves shares graphs
 _SPACING_FIELDS = ("min_spacing", "growl_min_spacing",
-                   "subharm_min_spacing")
+                   "subharm_min_spacing", "su_min_spacing")
 
 
 def _spacing_neutral(rs):

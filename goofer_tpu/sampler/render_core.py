@@ -85,6 +85,9 @@ class RenderStatic:
     min_spacing: int = config.PULSE_MIN_SPACING
     growl_min_spacing: int = config.PULSE_MIN_SPACING
     subharm_min_spacing: int = 8
+    # su layer runs at f0/2: onsets are 2x sparser, so its pulse-kernel
+    # tables can be half the rows of the main layer's
+    su_min_spacing: int = config.PULSE_MIN_SPACING
     # bucketed geometry: n / t_env are padded buckets; the true note
     # length arrives as the traced scalar ``n_true`` and padding is
     # masked out of every normalization and the final output
@@ -312,7 +315,7 @@ def render_note_core(rs: RenderStatic,
         warp_formants=rs.warp_formants,
         formant_shift_on=rs.formant_shift_on,
         max_overlap=rs.max_overlap,
-        pulse_min_spacing=rs.min_spacing,
+        pulse_min_spacing=rs.su_min_spacing,   # su runs at f0/2
         masked=rs.masked,
     )
     layer_knobs = dict(knobs)

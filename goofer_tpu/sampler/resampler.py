@@ -615,6 +615,9 @@ class GooferResampler:
         min_spacing = config.bucket_min_spacing(int(sr / max(f0_ceil, 1.0)))
         growl_min_spacing = config.bucket_min_spacing(int(sr / max(
             f0_ceil * 0.5 * spread, 1.0)))
+        # su layer: f0/2 -> onsets 2x sparser -> half the kernel rows
+        su_min_spacing = config.bucket_min_spacing(int(sr / max(
+            f0_ceil * 0.5, 1.0)))
         # subharmonic layer: semitones=12 (2x) with vibrato depth 3
         # (peak f0 x (1 + depth)) hardcoded at the main synth call
         subharm_min_spacing = config.bucket_min_spacing(int(sr / max(
@@ -645,6 +648,7 @@ class GooferResampler:
             min_spacing=min_spacing,
             growl_min_spacing=growl_min_spacing,
             subharm_min_spacing=subharm_min_spacing,
+            su_min_spacing=su_min_spacing,
         )
 
         one = cached(("zeros1",), lambda: np.zeros(1, dtype=np.float32))
