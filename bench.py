@@ -103,7 +103,7 @@ def main():
             rtfs.append(rtf)
         _log(f"rep {rep}: {elapsed:.3f}s for {total_audio_sec:.1f}s audio "
              f"-> {rtf:.1f}x realtime")
-    # best-of-3 steady state: device->host tunnel bandwidth jitter is
+    # best-of-5 steady state: device->host tunnel bandwidth jitter is
     # strictly additive noise, so the fastest rep is the honest throughput
     print(json.dumps({
         "metric": "realtime_factor_60s_phrase_full_pipeline",

@@ -32,7 +32,6 @@ from goofer_tpu import config
 from goofer_tpu.engine.synth import SynthStatic, default_knobs, synth_core_impl
 from goofer_tpu.ops.envelope import (
     env_shape,
-    formant_width_warp,
     fry_env_shift,
     gather_lerp_columns,
 )
