@@ -87,6 +87,10 @@ class RenderStatic:
     # su layer runs at f0/2: onsets are 2x sparser, so its pulse-kernel
     # tables can be half the rows of the main layer's
     su_min_spacing: int = config.PULSE_MIN_SPACING
+    # pre-velocity sample count (the loop-materialized length the
+    # velocity warp reads; == n when vel_on is False).  Static so the
+    # on-device loop-position closed form has a fixed shape.
+    n_loop: int = 0
     # bucketed geometry: n / t_env are padded buckets; the true note
     # length arrives as the traced scalar ``n_true`` and padding is
     # masked out of every normalization and the final output
@@ -126,6 +130,16 @@ def default_scalars() -> dict:
         # the NumPy reference oracle to float accuracy (o_resample).
         "uv_strength": 0.75,
         "breath_strength": 0.1,
+        # loop/velocity geometry: the f0/mask sample positions are
+        # closed-form (identity prefix + tail tiling; velocity's
+        # two-slope warp), so the device rebuilds them from these
+        # scalars instead of shipping b x n position arrays (~7.5 ms/MB
+        # of h2d through the device tunnel — docs/PERFORMANCE.md)
+        "loop_pre": 0.0,
+        "loop_tail": 1.0,
+        "vel_pre_new": 1.0,
+        "vel_pre_len": 1.0,
+        "vel_factor": 1.0,
     }
 
 
@@ -176,10 +190,34 @@ def _apply_plan(src, pos0, pos1, w, axis=-1):
     return a * (1.0 - w) + b * w
 
 
-def assemble_f0_mask(rs: RenderStatic, f0_cut, mask_cut, samp_pos,
-                     vel_samp_pos, fry_base_w, pitch_ticks, scalars):
+def loop_positions(rs: RenderStatic, scalars) -> jnp.ndarray:
+    """Integer sample positions of the sustain loop, rebuilt on device
+    from two scalars (identity prefix + tail tiling, exactly
+    plan.plan_sample_loop / ref SillySampler.py:698-712).  Shipping
+    these as arrays cost b x n x 4 bytes of h2d per dispatch."""
+    n_loop = rs.n_loop or rs.n
+    j = jnp.arange(n_loop, dtype=jnp.int32)
+    pre = jnp.round(scalars["loop_pre"]).astype(jnp.int32)
+    tail = jnp.maximum(jnp.round(scalars["loop_tail"]).astype(jnp.int32),
+                       1)
+    return jnp.where(j < pre, j, pre + jax.lax.rem(j - pre, tail))
+
+
+def velocity_positions(rs: RenderStatic, scalars) -> jnp.ndarray:
+    """Fractional source positions of the consonant-velocity warp
+    (plan.plan_prefix_stretch / ref SillySampler.py:176-187):
+    pos = i/factor below pre_new, (i - pre_new) + pre_len above."""
+    i = jnp.arange(rs.n, dtype=jnp.float32)
+    pre_new = scalars["vel_pre_new"]
+    return jnp.where(i < pre_new, i / scalars["vel_factor"],
+                     (i - pre_new) + scalars["vel_pre_len"])
+
+
+def assemble_f0_mask(rs: RenderStatic, f0_cut, mask_cut,
+                     fry_base_w, pitch_ticks, scalars):
     """The f0/voicing half of the render front: tick-curve interpolation,
-    loop/velocity gathers, Hz conversion gated by voicing, fry override
+    loop/velocity resampling (positions rebuilt on device from scalars),
+    Hz conversion gated by voicing, fry override
     (ref: SillySampler.py:835-855, 883-935).  Factored out so tests can
     fetch the EXACT per-sample f0 the pulse kernel will integrate (pulse
     onset positions are decided at f32-quantization scale, so a host
@@ -192,11 +230,14 @@ def assemble_f0_mask(rs: RenderStatic, f0_cut, mask_cut, samp_pos,
         0.0, sc["n_ticks"] - 1.0)
     midi_curve = gather_lerp(pitch_ticks.astype(jnp.float32), tick_pos,
                              axis=0)
-    f0_new = gather_lerp(f0_cut.astype(jnp.float32), samp_pos, axis=0)
-    mask_new = gather_lerp(mask_cut.astype(jnp.float32), samp_pos, axis=0)
+    lp = jnp.clip(loop_positions(rs, sc), 0,
+                  max(int(f0_cut.shape[0]) - 1, 0))
+    f0_new = jnp.take(f0_cut.astype(jnp.float32), lp, axis=0)
+    mask_new = jnp.take(mask_cut.astype(jnp.float32), lp, axis=0)
     if rs.vel_on:
-        f0_new = gather_lerp(f0_new, vel_samp_pos, axis=0)
-        mask_new = gather_lerp(mask_new, vel_samp_pos, axis=0)
+        vpos = velocity_positions(rs, sc)
+        f0_new = gather_lerp(f0_new, vpos, axis=0)
+        mask_new = gather_lerp(mask_new, vpos, axis=0)
 
     # pitch curve -> Hz, gated by voicing (ref: SillySampler.py:848-855)
     hz_curve = 440.0 * 2.0 ** ((midi_curve - 69.0) / 12.0)
@@ -211,10 +252,10 @@ def assemble_f0_mask(rs: RenderStatic, f0_cut, mask_cut, samp_pos,
 def render_note_core(rs: RenderStatic,
                      env_cut, f0_cut, mask_cut,
                      env_pos0, env_pos1, env_w,
-                     samp_pos, vel_env_pos, vel_samp_pos,
+                     vel_env_pos,
                      tracks, tracks_raw, pitch_ticks,
                      fry_base_w, fry_frame_w, fry_mask,
-                     pd_bend, scalars, key):
+                     scalars, key):
     """One fused note render; see module docstring.  All array args are
     device arrays shaped per RenderStatic; returns the final waveform.
 
@@ -233,10 +274,10 @@ def render_note_core(rs: RenderStatic,
     sc = scalars
     k_main, k_su, k_sj, k_sa, k_sd, k_noise = jax.random.split(key, 6)
 
-    # f0/voicing half (tick curve, gathers, Hz gate, fry override)
-    _, f0_new, mask_new = assemble_f0_mask(
-        rs, f0_cut, mask_cut, samp_pos, vel_samp_pos, fry_base_w,
-        pitch_ticks, sc)
+    # f0/voicing half (tick curve, loop/velocity resampling, Hz gate,
+    # fry override) — per-sample positions rebuilt on device
+    midi_curve, f0_new, mask_new = assemble_f0_mask(
+        rs, f0_cut, mask_cut, fry_base_w, pitch_ticks, sc)
 
     env = env_cut.astype(jnp.float32)
     if rs.tilt_on:
@@ -255,11 +296,14 @@ def render_note_core(rs: RenderStatic,
                                            sc["formant_strengths"], sr)
 
     # pd: pitch-driven dynamics (ref: SillySampler.py:857-881).  The
-    # smoothed bend curve and its 95th-percentile scale are host-computed
-    # (``pd_bend``/``pd_ref``): both derive from the host-built midi curve,
-    # and an on-device jnp.percentile costs ~18 s of XLA-TPU compile (sort).
+    # bend curve is blurred ON DEVICE from the midi curve (the blur is
+    # an FFT conv, ~1 ms); only its 95th-percentile scale (``pd_ref``)
+    # comes from the host — an on-device jnp.percentile costs ~18 s of
+    # XLA-TPU compile (sort).
     dyn_gain = None
     if rs.pd_on:
+        pd_bend = gaussian_blur1d(midi_curve - sc["pd_baseline"],
+                                  float(max(1, int(0.010 * sr))))
         v = jnp.clip(pd_bend / sc["pd_ref"], -1.0, 1.0)
         signed = jnp.where(sc["pitch_dyn"] > 0, v, -v)
         gain_db = 12.0 * jnp.abs(sc["pitch_dyn"]) * signed
@@ -443,8 +487,7 @@ def render_note(rs: RenderStatic, arrays: dict, scalars: dict, key):
     return _render_note_jit(
         rs, arrays["env_cut"], arrays["f0_cut"], arrays["mask_cut"],
         arrays["env_pos0"], arrays["env_pos1"], arrays["env_w"],
-        arrays["samp_pos"], arrays["vel_env_pos"], arrays["vel_samp_pos"],
+        arrays["vel_env_pos"],
         arrays["tracks"], arrays["tracks_raw"], arrays["pitch_ticks"],
-        arrays["fry_base_w"],
-        arrays["fry_frame_w"], arrays["fry_mask"], arrays["pd_bend"],
+        arrays["fry_base_w"], arrays["fry_frame_w"], arrays["fry_mask"],
         sc, key)

@@ -33,7 +33,6 @@ from goofer_tpu.sampler.plan import (
     plan_cut,
     plan_env_loop,
     plan_prefix_stretch,
-    plan_sample_loop,
     plan_track_loop,
 )
 from goofer_tpu.sampler.render_core import RenderStatic, render_note
@@ -179,18 +178,17 @@ def _bucketize(rs: "RenderStatic", arrays: dict, memo: dict,
     a["mask_cut"] = _pad_memo(memo, a["mask_cut"], s_b, "edge")
 
     # env plan: post-velocity env frames must land on te_b; with velocity
-    # the plan lives in the pre-warp domain and buckets independently
+    # the plan lives in the pre-warp domain and buckets independently.
+    # Sample-domain loop/velocity positions are device-built closed
+    # forms, so only the pre-velocity length (rs.n_loop) buckets.
     ep_b = fbucket(len(a["env_pos0"])) if rs.vel_on else te_b
     for k in ("env_pos0", "env_pos1", "env_w"):
         a[k] = _pad_memo(memo, a[k], ep_b, "edge")
     if rs.vel_on:
-        a["samp_pos"] = _pad_memo(memo, a["samp_pos"],
-                                  config.bucket_len(len(a["samp_pos"])),
-                                  "edge")
         a["vel_env_pos"] = _pad_memo(memo, a["vel_env_pos"], te_b, "edge")
-        a["vel_samp_pos"] = _pad_memo(memo, a["vel_samp_pos"], n_b, "edge")
+        n_loop_b = config.bucket_len(rs.n_loop or rs.n)
     else:
-        a["samp_pos"] = _pad_memo(memo, a["samp_pos"], n_b, "edge")
+        n_loop_b = n_b
 
     a["tracks"] = _pad_memo(memo, a["tracks"], te_b, "edge", axis=1)
     a["tracks_raw"] = _pad_memo(memo, a["tracks_raw"], te_b, "edge", axis=1)
@@ -198,10 +196,8 @@ def _bucketize(rs: "RenderStatic", arrays: dict, memo: dict,
     if rs.fry_on:
         a["fry_base_w"] = _pad_memo(memo, a["fry_base_w"], n_b, "zero")
     a["fry_mask"] = _pad_memo(memo, a["fry_mask"], n_b, "zero")
-    if rs.pd_on:
-        a["pd_bend"] = _pad_memo(memo, a["pd_bend"], n_b, "edge")
 
-    rs_b = replace(rs, n=n_b, t_env=te_b, masked=True)
+    rs_b = replace(rs, n=n_b, t_env=te_b, n_loop=n_loop_b, masked=True)
     return rs_b, a
 
 
@@ -455,19 +451,29 @@ class GooferResampler:
 
         env_plan = plan_env_loop(pre_frames, tail_frames,
                                  desired_tail_frames, p.loop_mode)
-        samp_plan = plan_sample_loop(pre_samples, tail_samples,
-                                     desired_tail_samples)
         target_frames = len(env_plan)
-        n_loop = len(samp_plan)
+        # sample loop positions are rebuilt ON DEVICE from
+        # (pre, tail) scalars (render_core.loop_positions) — only the
+        # length is needed here: identity prefix + desired tail samples
+        # (plan.plan_sample_loop semantics, ref SillySampler.py:698-712)
+        n_loop = pre_samples + desired_tail_samples
 
         vel = p.velocity_factor
-        fplan = splan = None
+        fplan = None
+        vel_samp_on = False
+        vel_pre_new = 1
         if abs(vel - 1.0) > 1e-6 and pre_frames > 1 and pre_samples > 1:
             fplan = plan_prefix_stretch(target_frames, pre_frames, vel)
-            splan = plan_prefix_stretch(n_loop, pre_samples, vel)
-        vel_on = fplan is not None or splan is not None
+            if n_loop > 1:
+                # velocity sample positions are also device-built
+                # (render_core.velocity_positions); host derives the
+                # warped length (plan.plan_prefix_stretch semantics)
+                vel_samp_on = True
+                vel_pre_new = max(1, int(round(pre_samples * vel)))
+        vel_on = fplan is not None or vel_samp_on
         t_env = len(fplan) if fplan is not None else target_frames
-        n_total = len(splan) if splan is not None else n_loop
+        n_total = (vel_pre_new + (n_loop - pre_samples) if vel_samp_on
+                   else n_loop)
 
         # --- formant tracks: loop -> velocity -> canon -> sanitize ----
         track_plan = plan_track_loop(pre_frames, tail_frames,
@@ -544,20 +550,19 @@ class GooferResampler:
         pd_on = p.pitch_dyn != 0.0
         pd_baseline = p.pitch_midi + (p.t_cents / 100.0)
 
-        def build_pd():
+        # the smoothed bend curve itself is rebuilt on device from the
+        # midi curve (render_core); only the percentile scale ships
+        def build_pd_ref():
             sigma = max(1, int(0.010 * sr))
             bend = _np_gaussian1d(midi_curve - pd_baseline, float(sigma))
-            ref = float(np.percentile(np.abs(bend), 95.0) + 1e-8)
-            return bend.astype(np.float32), ref
+            return float(np.percentile(np.abs(bend), 95.0) + 1e-8)
 
         if pd_on:
-            pd_bend, pd_ref = cached(
+            pd_ref = cached(
                 ("pd", n_total, pd_baseline, p.pitch_midi, p.t_cents,
                  p.tempo, p.bend_cents.tobytes()),
-                build_pd)
+                build_pd_ref)
         else:
-            pd_bend = cached(("zeros1",),
-                             lambda: np.zeros(1, dtype=np.float32))
             pd_ref = 1.0
 
         # --- fry weights ------------------------------------------------
@@ -649,6 +654,7 @@ class GooferResampler:
             growl_min_spacing=growl_min_spacing,
             subharm_min_spacing=subharm_min_spacing,
             su_min_spacing=su_min_spacing,
+            n_loop=n_loop,
         )
 
         one = cached(("zeros1",), lambda: np.zeros(1, dtype=np.float32))
@@ -658,16 +664,13 @@ class GooferResampler:
             "mask_cut": mask_cut if mask_cut.size else one,
             "env_pos0": env_plan.pos0, "env_pos1": env_plan.pos1,
             "env_w": env_plan.w,
-            "samp_pos": samp_plan.pos0,
             "vel_env_pos": (fplan.pos0 if fplan is not None else one),
-            "vel_samp_pos": (splan.pos0 if splan is not None else one),
             "tracks": tracks,
             "tracks_raw": tracks_raw,
             "pitch_ticks": pitch_ticks,
             "fry_base_w": (fry_base_w if fry_on else one),
             "fry_frame_w": fry_frame_w,
             "fry_mask": fry_mask_arr,
-            "pd_bend": pd_bend,
         }
         scalars = {
             "brightness_env": p.brightness_env,
@@ -700,6 +703,12 @@ class GooferResampler:
             # GOOFER.py:975); traced so tests can zero the noise stems
             "uv_strength": 0.75,
             "breath_strength": 0.1,
+            # device-side position closed forms (render_core)
+            "loop_pre": float(pre_samples),
+            "loop_tail": float(max(1, tail_samples)),
+            "vel_pre_new": float(vel_pre_new if vel_samp_on else 1),
+            "vel_pre_len": float(pre_samples if vel_samp_on else 1),
+            "vel_factor": float(vel if vel_samp_on else 1.0),
         }
         if bucket:
             rs, arrays = _bucketize(rs, arrays, memo)

@@ -140,7 +140,6 @@ def _device_f0_mask(rs, arrays, scalars):
     fn = jax.jit(assemble_f0_mask, static_argnums=(0,))
     _, f0_new, mask_new = fn(
         rs, jnp.asarray(arrays["f0_cut"]), jnp.asarray(arrays["mask_cut"]),
-        jnp.asarray(arrays["samp_pos"]), jnp.asarray(arrays["vel_samp_pos"]),
         jnp.asarray(arrays["fry_base_w"]), jnp.asarray(arrays["pitch_ticks"]),
         sc)
     return np.asarray(f0_new), np.asarray(mask_new)
