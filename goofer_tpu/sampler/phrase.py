@@ -32,7 +32,6 @@ from goofer_tpu.sampler.render_core import render_note_core, default_scalars
 ARRAY_ORDER = (
     "env_cut", "f0_cut", "mask_cut", "env_pos0", "env_pos1", "env_w",
     "vel_env_pos", "tracks", "tracks_raw", "pitch_ticks",
-    "fry_base_w", "fry_frame_w", "fry_mask",
 )
 
 

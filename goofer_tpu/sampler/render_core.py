@@ -140,6 +140,11 @@ def default_scalars() -> dict:
         "vel_pre_new": 1.0,
         "vel_pre_len": 1.0,
         "vel_factor": 1.0,
+        # fry curve bounds/slopes (resampler._fry_scalars); the
+        # weight/mask ramps are materialized on device (fry_curves)
+        "fry_c0": 0.0, "fry_c1": 0.0, "fry_g0": 0.0, "fry_g1": 0.0,
+        "fry_r0": 0.0, "fry_rs": 0.0, "fry_s": 0.0, "fry_e": 0.0,
+        "fry_a1": 0.0, "fry_rin": 0.0, "fry_b0": 0.0, "fry_rout": 0.0,
     }
 
 
@@ -213,6 +218,37 @@ def velocity_positions(rs: RenderStatic, scalars) -> jnp.ndarray:
                      (i - pre_new) + scalars["vel_pre_len"])
 
 
+def _fry_mask_at(sc, pos):
+    """Evaluate the faded fry-region mask at (float) sample positions
+    (ref: SillySampler.py:937-965; bounds from resampler._fry_scalars)."""
+    inside = ((pos >= sc["fry_s"]) & (pos < sc["fry_e"])
+              ).astype(jnp.float32)
+    ramp_in = jnp.where(pos < sc["fry_a1"],
+                        (pos - sc["fry_s"]) * sc["fry_rin"], 1.0)
+    ramp_out = jnp.where(pos >= sc["fry_b0"],
+                         1.0 - (pos - sc["fry_b0"]) * sc["fry_rout"], 1.0)
+    return inside * ramp_in * ramp_out
+
+
+def fry_curves(rs: RenderStatic, sc):
+    """Materialize the fry base-pitch weight, region mask and per-frame
+    weight from the 12 host-derived scalars (the reference builds these
+    as n-length arrays, SillySampler.py:883-996 — shipping them cost
+    2 x n x 4 bytes per note of h2d)."""
+    j = jnp.arange(rs.n, dtype=jnp.float32)
+    base_w = (((j >= sc["fry_c0"]) & (j < sc["fry_c1"])
+               ).astype(jnp.float32)
+              + jnp.where((j >= sc["fry_g0"]) & (j < sc["fry_g1"]),
+                          sc["fry_r0"] + sc["fry_rs"] * (j - sc["fry_g0"]),
+                          0.0))
+    fry_mask = _fry_mask_at(sc, j)
+    centers = jnp.clip(
+        jnp.arange(rs.t_env, dtype=jnp.float32) * rs.hop + rs.hop // 2,
+        0.0, jnp.maximum(sc["n_true"], 1.0) - 1.0)
+    fry_frame_w = _fry_mask_at(sc, centers)
+    return base_w, fry_mask, fry_frame_w
+
+
 def assemble_f0_mask(rs: RenderStatic, f0_cut, mask_cut,
                      fry_base_w, pitch_ticks, scalars):
     """The f0/voicing half of the render front: tick-curve interpolation,
@@ -254,7 +290,6 @@ def render_note_core(rs: RenderStatic,
                      env_pos0, env_pos1, env_w,
                      vel_env_pos,
                      tracks, tracks_raw, pitch_ticks,
-                     fry_base_w, fry_frame_w, fry_mask,
                      scalars, key):
     """One fused note render; see module docstring.  All array args are
     device arrays shaped per RenderStatic; returns the final waveform.
@@ -273,6 +308,10 @@ def render_note_core(rs: RenderStatic,
     sr, n_fft, hop, n = rs.sr, rs.n_fft, rs.hop, rs.n
     sc = scalars
     k_main, k_su, k_sj, k_sa, k_sd, k_noise = jax.random.split(key, 6)
+
+    fry_base_w = fry_mask = fry_frame_w = None
+    if rs.fry_on:
+        fry_base_w, fry_mask, fry_frame_w = fry_curves(rs, sc)
 
     # f0/voicing half (tick curve, loop/velocity resampling, Hz gate,
     # fry override) — per-sample positions rebuilt on device
@@ -489,5 +528,4 @@ def render_note(rs: RenderStatic, arrays: dict, scalars: dict, key):
         arrays["env_pos0"], arrays["env_pos1"], arrays["env_w"],
         arrays["vel_env_pos"],
         arrays["tracks"], arrays["tracks_raw"], arrays["pitch_ticks"],
-        arrays["fry_base_w"], arrays["fry_frame_w"], arrays["fry_mask"],
         sc, key)

@@ -192,10 +192,6 @@ def _bucketize(rs: "RenderStatic", arrays: dict, memo: dict,
 
     a["tracks"] = _pad_memo(memo, a["tracks"], te_b, "edge", axis=1)
     a["tracks_raw"] = _pad_memo(memo, a["tracks_raw"], te_b, "edge", axis=1)
-    a["fry_frame_w"] = _pad_memo(memo, a["fry_frame_w"], te_b, "zero")
-    if rs.fry_on:
-        a["fry_base_w"] = _pad_memo(memo, a["fry_base_w"], n_b, "zero")
-    a["fry_mask"] = _pad_memo(memo, a["fry_mask"], n_b, "zero")
 
     rs_b = replace(rs, n=n_b, t_env=te_b, n_loop=n_loop_b, masked=True)
     return rs_b, a
@@ -233,6 +229,11 @@ def invalidate_render_cache(out_path: str, feat_path: str) -> None:
     except Exception as e:  # pragma: no cover
         log.warning("[SE] Cache invalidate failed: %s", e)
 
+
+# fry-off scalar block (see GooferResampler._fry_scalars)
+_FRY_ZERO = {k: 0.0 for k in (
+    "fry_c0", "fry_c1", "fry_g0", "fry_g1", "fry_r0", "fry_rs",
+    "fry_s", "fry_e", "fry_a1", "fry_rin", "fry_b0", "fry_rout")}
 
 # get/insert under a lock: the HTTP server's handler threads all plan
 # through here (SURVEY §5 race bar); readers hold their own reference so
@@ -569,24 +570,13 @@ class GooferResampler:
         vf = min(100.0, max(-100.0, float(p.fry_amount)))
         fry_on = vf != 0.0
 
-        def build_fry():
-            if fry_on:
-                base_w, mask_arr = self._fry_arrays(n_total, sr, vf)
-            else:
-                base_w, mask_arr = np.zeros(1, dtype=np.float32), None
-            if mask_arr is None:
-                mask_arr = np.zeros(n_total, dtype=np.float32)
-            centers = np.minimum(
-                max(0, n_total - 1),
-                np.arange(t_env) * hop + hop // 2).astype(np.int64)
-            frame_w = mask_arr[centers].astype(np.float32)
-            if fry_on and len(base_w) != n_total:
-                base_w = _np_fit(base_w, n_total)
-            return base_w, mask_arr.astype(np.float32), frame_w
-
-        fry_base_w, fry_mask_arr, fry_frame_w = cached(
-            ("fry", n_total, t_env, vf, p.fry_glide_pct, p.fry_base_hz, sr),
-            build_fry)
+        # the fry weight/mask curves are piecewise-linear ramps; the
+        # host derives their exact integer region bounds + slopes (same
+        # arithmetic as the reference's array surgery) and the device
+        # materializes the curves (render_core.fry_curves) — the last
+        # O(n)-per-note dispatch payload eliminated
+        fry_sc = (self._fry_scalars(n_total, sr, vf) if fry_on
+                  else _FRY_ZERO)
 
         # --- statics + scalars ----------------------------------------
         tension_sign = 0 if p.tension == 0 else (1 if p.tension > 0 else -1)
@@ -668,9 +658,6 @@ class GooferResampler:
             "tracks": tracks,
             "tracks_raw": tracks_raw,
             "pitch_ticks": pitch_ticks,
-            "fry_base_w": (fry_base_w if fry_on else one),
-            "fry_frame_w": fry_frame_w,
-            "fry_mask": fry_mask_arr,
         }
         scalars = {
             "brightness_env": p.brightness_env,
@@ -709,6 +696,7 @@ class GooferResampler:
             "vel_pre_new": float(vel_pre_new if vel_samp_on else 1),
             "vel_pre_len": float(pre_samples if vel_samp_on else 1),
             "vel_factor": float(vel if vel_samp_on else 1.0),
+            **fry_sc,
         }
         if bucket:
             rs, arrays = _bucketize(rs, arrays, memo)
@@ -716,25 +704,32 @@ class GooferResampler:
 
     # ------------------------------------------------------------------
 
-    def _fry_arrays(self, n, sr, vf):
-        """Fry base-pitch weight per sample and the faded fry region mask
-        (ref: SillySampler.py:883-965).  base_w = weight of the fry base
-        pitch vh*(mask>0) in the blend (1 in the constant region, ramping
-        through the glide); fry_mask is None when the midpoint-sized
-        region is empty."""
+    def _fry_scalars(self, n, sr, vf):
+        """Exact integer region bounds + ramp slopes of the fry
+        weight/mask curves (ref: SillySampler.py:883-965), computed with
+        the reference's host arithmetic and shipped as 12 scalars; the
+        device materializes the piecewise-linear curves
+        (render_core.fry_curves).
+
+        base_w: 1 on [c0, c1), r0 + rs*(j - g0) on [g0, g1), else 0.
+        fry_mask: on [s, e): ramp-in (j - s)*rin for j < a1 (else 1)
+        times ramp-out 1 - (j - b0)*rout for j >= b0 (else 1)."""
         p = self.params
         vl = p.fry_glide_pct
 
-        base_w = np.zeros(n, dtype=np.float32)
+        c0 = c1 = g0 = g1 = 0
+        r0 = rs_ = 0.0
         if vf > 0:
             L = int(round(n * (vf / 100.0)))
             if L > 0:
                 glide = min(L, max(0, int(round(L * (vl / 100.0)))))
                 const = L - glide
-                base_w[:const] = 1.0
+                c0, c1 = 0, const
                 if glide > 0:
-                    w = np.linspace(0.0, 1.0, glide, endpoint=True)
-                    base_w[const:L] = 1.0 - w
+                    # base_w = 1 - linspace(0,1,glide)
+                    g0, g1 = const, L
+                    r0 = 1.0
+                    rs_ = -1.0 / (glide - 1) if glide > 1 else 0.0
         else:
             L = int(round(n * (abs(vf) / 100.0)))
             if L > 0:
@@ -742,10 +737,12 @@ class GooferResampler:
                 const = L - glide
                 start = n - L
                 if glide > 0:
-                    w = np.linspace(1.0, 0.0, glide, endpoint=True)
-                    base_w[start:start + glide] = 1.0 - w
+                    # base_w = 1 - linspace(1,0,glide)
+                    g0, g1 = start, start + glide
+                    r0 = 0.0
+                    rs_ = 1.0 / (glide - 1) if glide > 1 else 0.0
                 if const > 0:
-                    base_w[start + glide:] = 1.0
+                    c0, c1 = start + glide, n
 
         # faded region mask (sized from the note midpoint,
         # ref: SillySampler.py:937-965)
@@ -756,19 +753,25 @@ class GooferResampler:
         else:
             L2 = int(round((n - mid) * (abs(vf) / 100.0)))
             s_i, e_i = max(0, n - L2), n
-        fry_mask = None
+        a1 = s_i
+        b0 = e_i
+        rin = rout = 0.0
         if e_i > s_i:
-            fm = np.zeros(n, dtype=np.float32)
-            fm[s_i:e_i] = 1.0
             fade = int(0.01 * sr)
             if fade > 0:
                 a1 = min(e_i, s_i + fade)
-                if a1 > s_i:
-                    fm[s_i:a1] *= np.linspace(0.0, 1.0, a1 - s_i,
-                                              endpoint=True)
+                if a1 - s_i > 1:
+                    rin = 1.0 / (a1 - s_i - 1)
                 b0 = max(s_i, e_i - fade)
-                if e_i > b0:
-                    fm[b0:e_i] *= np.linspace(1.0, 0.0, e_i - b0,
-                                              endpoint=True)
-            fry_mask = fm
-        return base_w, fry_mask
+                if e_i - b0 > 1:
+                    rout = 1.0 / (e_i - b0 - 1)
+        else:
+            s_i = e_i = 0
+        return {
+            "fry_c0": float(c0), "fry_c1": float(c1),
+            "fry_g0": float(g0), "fry_g1": float(g1),
+            "fry_r0": float(r0), "fry_rs": float(rs_),
+            "fry_s": float(s_i), "fry_e": float(e_i),
+            "fry_a1": float(a1), "fry_rin": float(rin),
+            "fry_b0": float(b0), "fry_rout": float(rout),
+        }

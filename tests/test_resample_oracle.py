@@ -132,16 +132,20 @@ def _device_f0_mask(rs, arrays, scalars):
     from goofer_tpu.sampler.render_core import (
         assemble_f0_mask,
         default_scalars,
+        fry_curves,
     )
 
     full = default_scalars()
     full.update(scalars)
     sc = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in full.items()}
-    fn = jax.jit(assemble_f0_mask, static_argnums=(0,))
-    _, f0_new, mask_new = fn(
-        rs, jnp.asarray(arrays["f0_cut"]), jnp.asarray(arrays["mask_cut"]),
-        jnp.asarray(arrays["fry_base_w"]), jnp.asarray(arrays["pitch_ticks"]),
-        sc)
+
+    def front(f0_cut, mask_cut, ticks, sc):
+        base_w = fry_curves(rs, sc)[0] if rs.fry_on else None
+        return assemble_f0_mask(rs, f0_cut, mask_cut, base_w, ticks, sc)
+
+    _, f0_new, mask_new = jax.jit(front)(
+        jnp.asarray(arrays["f0_cut"]), jnp.asarray(arrays["mask_cut"]),
+        jnp.asarray(arrays["pitch_ticks"]), sc)
     return np.asarray(f0_new), np.asarray(mask_new)
 
 
