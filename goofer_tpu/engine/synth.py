@@ -71,6 +71,9 @@ class SynthStatic:
     subharm_f0_jitter_on: bool = False
     cut_subharm_below_f0: bool = True
     warp_formants: bool = False
+    # host-derived bound on the warp's bin offset (0 = unbounded gather);
+    # see ops/envelope.banded_gather_lerp_columns
+    warp_band: int = 0
     formant_shift_on: bool = False
     apply_brightness: bool = True
     noise_transition_smoothness: float = 100.0
@@ -172,7 +175,8 @@ def _synth_body(st: SynthStatic, env_spec, f0_interp, voicing_mask,
 
     if st.warp_formants:
         shifted = formants_array * knobs["formant_band_shifts"][:, None]
-        env_spec = warp_env_by_formants(env_spec, formants_array, shifted, sr)
+        env_spec = warp_env_by_formants(env_spec, formants_array, shifted,
+                                        sr, band=st.warp_band)
     if st.formant_shift_on:
         env_spec = shift_formants_global(env_spec, knobs["formant_shift"], sr)
 

@@ -179,7 +179,8 @@ def shift_formants_global(env: jnp.ndarray, shift_ratio: float,
 
 
 def warp_env_by_formants(env: jnp.ndarray, orig_formants: jnp.ndarray,
-                         shifted_formants: jnp.ndarray, sr: int) -> jnp.ndarray:
+                         shifted_formants: jnp.ndarray, sr: int,
+                         band: int = 0) -> jnp.ndarray:
     """Per-formant piecewise-linear frequency warp (ref: GOOFER.py:840-875).
 
     Per frame, anchors map shifted->orig frequency: (0, 0), each valid
@@ -222,6 +223,12 @@ def warp_env_by_formants(env: jnp.ndarray, orig_formants: jnp.ndarray,
     warped_freqs = y0 + w * (y1 - y0)               # (n_bins, T)
 
     pos = warped_freqs / nyq * (n_bins - 1)
+    # ``band``: host-derived bound on |pos - bin| (the warp's max anchor
+    # deviation, sampler/resampler.py) routes the resample through the
+    # banded dense-select form — ~20x the per-element gather when the
+    # shifts are moderate.  band=0 (unknown/too wide) keeps the gather.
+    if band and band < n_bins // 2:
+        return banded_gather_lerp_columns(env, pos, -band, band)
     return gather_lerp_columns(env, pos)
 
 
@@ -311,6 +318,36 @@ def match_env_frames(env: jnp.ndarray, target_frames: int) -> jnp.ndarray:
     return env
 
 
+def banded_gather_lerp_columns(env: jnp.ndarray, pos: jnp.ndarray,
+                               k_lo: int, k_hi: int) -> jnp.ndarray:
+    """gather_lerp_columns for positions whose offset from the identity
+    (pos[j] - j) is STATICALLY bounded to [k_lo, k_hi]: the per-element
+    gather (~24 ns/element on the v5e, docs/PERFORMANCE.md "gather
+    trap") becomes k_hi-k_lo+1 shifted dense selects the VPU streams.
+
+    Exactly equivalent to gather_lerp_columns when the bound holds;
+    offsets outside the band would read the wrong rows — callers derive
+    the band conservatively on the host."""
+    n_bins = env.shape[0]
+    pos = jnp.clip(pos, 0.0, n_bins - 1.0)
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, max(n_bins - 2, 0))
+    frac = (pos - lo).astype(env.dtype)
+    d = lo - jnp.arange(n_bins, dtype=jnp.int32)[:, None]
+    k_lo = min(k_lo, -1)               # lo clamps to n_bins-2 at the top
+    # pad below by |k_lo| and above so every shifted slice is in-range
+    bot = jnp.broadcast_to(env[:1, :], (-k_lo,) + env.shape[1:])
+    top = jnp.broadcast_to(env[-1:, :], (k_hi + 2,) + env.shape[1:])
+    env_p = jnp.concatenate([bot, env, top], axis=0)
+    base = -k_lo
+    a = jnp.zeros_like(env)
+    b = jnp.zeros_like(env)
+    for k in range(k_lo, k_hi + 1):
+        sel = (d == k).astype(env.dtype)
+        a = a + env_p[base + k:base + k + n_bins] * sel
+        b = b + env_p[base + k + 1:base + k + 1 + n_bins] * sel
+    return a * (1.0 - frac) + b * frac
+
+
 def fry_env_shift(env: jnp.ndarray, fry_weight_frames: jnp.ndarray,
                   shift: float = 0.92) -> jnp.ndarray:
     """Per-frame envelope compression toward low frequencies under the fry
@@ -326,22 +363,7 @@ def fry_env_shift(env: jnp.ndarray, fry_weight_frames: jnp.ndarray,
     s = 1.0 - fry_weight_frames * (1.0 - shift)  # (T,) in [shift, 1]
     bins = jnp.arange(n_bins, dtype=jnp.float32)[:, None]
     pos = jnp.clip(bins / s[None, :], 0.0, n_bins - 1.0)
-    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, max(n_bins - 2, 0))
-    frac = (pos - lo).astype(env.dtype)
-    d = lo - jnp.arange(n_bins, dtype=jnp.int32)[:, None]  # (nb, T) >= 0
-
     k_max = int(np.ceil(n_bins * (1.0 / shift - 1.0))) + 1
-    # pad 1 row below (lo clamps to n_bins-2 at the top bin -> d = -1)
-    # and edge-pad the top so lo+1 at the last bin clamps like take's
-    # min(); env_p[1 + j + k] == env[clamped j + k]
-    top = jnp.broadcast_to(env[-1:, :], (k_max + 2,) + env.shape[1:])
-    env_p = jnp.concatenate([env[:1], env, top], axis=0)
-    a = jnp.zeros_like(env)
-    b = jnp.zeros_like(env)
-    for k in range(-1, k_max + 1):
-        sel = (d == k).astype(env.dtype)
-        a = a + env_p[1 + k:1 + k + n_bins] * sel
-        b = b + env_p[2 + k:2 + k + n_bins] * sel
-    warped = a * (1.0 - frac) + b * frac
+    warped = banded_gather_lerp_columns(env, pos, -1, k_max)
     keep = jnp.abs(s - 1.0) < 1e-6
     return jnp.where(keep[None, :], env, warped)

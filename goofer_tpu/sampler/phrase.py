@@ -107,16 +107,24 @@ def _shape_key(pl: "_Planned") -> tuple:
     return tuple(np.asarray(pl.arrays[k]).shape for k in ARRAY_ORDER)
 
 
-# statics that only size the pulse kernel's onset tables: grouping
-# ignores them (smaller is always safe) and each group harmonizes to its
-# most conservative member, so a melody spanning octaves shares graphs
+# statics that only size kernel tables/bands: grouping ignores them and
+# each group harmonizes to its most conservative member, so a melody
+# spanning octaves shares graphs.  Pulse spacings harmonize to the MIN
+# (smaller is always safe); the formant-warp band harmonizes to the MAX
+# (wider always covers), with 0 = unbounded dominating.
 _SPACING_FIELDS = ("min_spacing", "growl_min_spacing",
                    "subharm_min_spacing", "su_min_spacing")
 
 
+def _band_merge(members):
+    bands = [m.rs.warp_band for m in members]
+    return 0 if any(b == 0 for b in bands) else max(bands)
+
+
 def _spacing_neutral(rs):
-    return replace(rs, **{f: config.PULSE_MIN_SPACING
-                          for f in _SPACING_FIELDS})
+    return replace(rs, warp_band=0,
+                   **{f: config.PULSE_MIN_SPACING
+                      for f in _SPACING_FIELDS})
 
 
 def group_planned(planned) -> dict:
@@ -129,8 +137,9 @@ def group_planned(planned) -> dict:
         groups.setdefault((_spacing_neutral(pl.rs), _shape_key(pl)),
                           []).append(pl)
     return {
-        (replace(key_rs, **{f: min(getattr(m.rs, f) for m in members)
-                            for f in _SPACING_FIELDS}), sk): members
+        (replace(key_rs, warp_band=_band_merge(members),
+                 **{f: min(getattr(m.rs, f) for m in members)
+                    for f in _SPACING_FIELDS}), sk): members
         for (key_rs, sk), members in groups.items()
     }
 

@@ -64,6 +64,9 @@ class RenderStatic:
     volume_jitter: bool = False
     add_subharm: bool = False
     warp_formants: bool = False
+    # host-derived bound (bins) on the formant warp's offset; 0 keeps
+    # the unbounded gather (ops/envelope.banded_gather_lerp_columns)
+    warp_band: int = 0
     formant_shift_on: bool = False
     # layers / post-fx
     su_on: bool = False
@@ -366,6 +369,7 @@ def render_note_core(rs: RenderStatic,
         subharm_vibrato_delay=0.01,
         cut_subharm_below_f0=True,
         warp_formants=rs.warp_formants,
+        warp_band=rs.warp_band,
         formant_shift_on=rs.formant_shift_on,
         max_overlap=rs.max_overlap,
         pulse_min_spacing=rs.min_spacing,
@@ -395,6 +399,7 @@ def render_note_core(rs: RenderStatic,
     st_layer = SynthStatic(
         sr=sr, n_fft=n_fft, hop=hop, n=n,
         warp_formants=rs.warp_formants,
+        warp_band=rs.warp_band,
         formant_shift_on=rs.formant_shift_on,
         max_overlap=rs.max_overlap,
         pulse_min_spacing=rs.su_min_spacing,   # su runs at f0/2
@@ -423,6 +428,7 @@ def render_note_core(rs: RenderStatic,
         st_growl = SynthStatic(
             sr=sr, n_fft=n_fft, hop=hop, n=n,
             warp_formants=rs.warp_formants,
+            warp_band=rs.warp_band,
             formant_shift_on=rs.formant_shift_on,
             max_overlap=rs.growl_max_overlap,
             pulse_min_spacing=rs.growl_min_spacing,
@@ -489,6 +495,7 @@ def render_note_core(rs: RenderStatic,
         st_ap = SynthStatic(
             sr=sr, n_fft=n_fft, hop=hop, n=n,
             warp_formants=rs.warp_formants,
+            warp_band=rs.warp_band,
             formant_shift_on=rs.formant_shift_on,
             noise_transition_smoothness=1.0,
             max_overlap=rs.max_overlap,

@@ -582,6 +582,34 @@ class GooferResampler:
         tension_sign = 0 if p.tension == 0 else (1 if p.tension > 0 else -1)
         tension_order = int(min(6, max(1, round(1 + abs(p.tension) * 4))))
 
+        # per-band formant warp: the piecewise-linear map's deviation
+        # from identity peaks AT the anchors (|f_orig - f_shifted| over
+        # valid anchors; endpoints are pinned), so the host bounds the
+        # warp's bin offset and the device uses the banded dense-select
+        # resample instead of a per-element gather (ops/envelope.py,
+        # docs/PERFORMANCE.md "gather trap")
+        warp_band = 0
+        warp_on = any(s != 1.0 for s in p.f_shifts)
+        if warp_on:
+            n_bins = env_cut.shape[0]
+            nyq = sr / 2.0
+            off_hz = 0.0
+            for k in range(4):
+                tr = tracks_raw[k]
+                sh = tr * p.f_shifts[k]
+                valid = np.isfinite(tr) & (tr > 50.0) & (tr < nyq) \
+                    & (sh > 50.0)
+                if np.any(valid):
+                    off_hz = max(off_hz,
+                                 float(np.max(np.abs(tr - sh)[valid])))
+            band = int(np.ceil(off_hz * (n_bins - 1) / nyq)) + 2
+            # round UP to a bucket so nearby notes share graphs; too
+            # wide (> ~nb/2) falls back to the unbounded gather
+            for b in (8, 16, 32, 64, 128, 192, 256):
+                if band <= b and b < n_bins // 2:
+                    warp_band = b
+                    break
+
         # pulse-overlap bound from the f0 range this note can produce:
         # longest pulse ~ sr/f0_floor samples, onsets up to f0_ceil/sr per
         # sample, pulses are zero past u = Ra + Rk*(1-Ra) ~= 0.804
@@ -630,7 +658,8 @@ class GooferResampler:
             f0_jitter=p.f0_jitter,
             volume_jitter=p.volume_jitter,
             add_subharm=p.add_subharm,
-            warp_formants=any(s != 1.0 for s in p.f_shifts),
+            warp_formants=warp_on,
+            warp_band=warp_band,
             formant_shift_on=p.formant_shift != 1.0,
             su_on=p.subharm_gain > 0.0,
             sj_on=p.growl_mix > 0.0,

@@ -175,3 +175,61 @@ def test_knot_decode_bf16_optin(monkeypatch):
         jnp.asarray(knots["knot_vals_log"], jnp.float32), sr, n_fft, n_bins))
     rel = np.abs(got - ref) / (ref + 1e-8)
     assert rel.max() < 2e-2
+
+
+def test_banded_gather_equals_gather():
+    """banded_gather_lerp_columns must be float-equivalent to the
+    per-element gather whenever the offset bound holds (the banded form
+    replaces the ~24 ns/element TPU gather, docs/PERFORMANCE.md)."""
+    import numpy as np
+
+    from goofer_tpu.ops.envelope import (
+        banded_gather_lerp_columns,
+        gather_lerp_columns,
+    )
+
+    rng = np.random.default_rng(5)
+    for _ in range(4):
+        nb, t = 257, int(rng.integers(3, 60))
+        env = jnp.asarray(rng.random((nb, t)).astype(np.float32))
+        off = rng.uniform(-20, 20, size=(nb, t)).astype(np.float32)
+        pos = np.clip(np.arange(nb)[:, None] + off, 0, nb - 1)
+        got = np.asarray(banded_gather_lerp_columns(
+            env, jnp.asarray(pos), -21, 21))
+        want = np.asarray(gather_lerp_columns(env, jnp.asarray(pos)))
+        np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_banded_warp_matches_gather_warp():
+    """warp_env_by_formants with a host-derived band == unbounded."""
+    import numpy as np
+
+    from goofer_tpu.ops.envelope import warp_env_by_formants
+
+    rng = np.random.default_rng(1)
+    sr = 44100
+    nyq = sr / 2.0
+    for _ in range(3):
+        nb, t = 513, int(rng.integers(5, 80))
+        env = jnp.asarray(rng.random((nb, t)).astype(np.float32))
+        forms = np.stack([
+            700 + 50 * rng.standard_normal(t),
+            1200 + 80 * rng.standard_normal(t),
+            2600 + 120 * rng.standard_normal(t),
+            3400 + 150 * rng.standard_normal(t)]).astype(np.float32)
+        forms[0, :3] = 0.0                  # invalid anchors
+        ratios = 1.0 + rng.uniform(-0.2, 0.2, 4)
+        shifted = (forms * ratios[:, None]).astype(np.float32)
+        off = 0.0
+        for k in range(4):
+            valid = (np.isfinite(forms[k]) & (forms[k] > 50)
+                     & (forms[k] < nyq) & (shifted[k] > 50))
+            if np.any(valid):
+                off = max(off, float(np.max(
+                    np.abs(forms[k] - shifted[k])[valid])))
+        band = int(np.ceil(off * (nb - 1) / nyq)) + 2
+        got = np.asarray(warp_env_by_formants(
+            env, jnp.asarray(forms), jnp.asarray(shifted), sr, band=band))
+        want = np.asarray(warp_env_by_formants(
+            env, jnp.asarray(forms), jnp.asarray(shifted), sr, band=0))
+        np.testing.assert_allclose(got, want, atol=2e-6)
