@@ -297,12 +297,16 @@ def render_note_core(rs: RenderStatic,
     """One fused note render; see module docstring.  All array args are
     device arrays shaped per RenderStatic; returns the final waveform.
 
-    ``tracks`` are the sanitized F1..F4 tracks (formant-strength bells,
-    ref SillySampler.py:802-806); ``tracks_raw`` the canon'd unsanitized
-    tracks the per-band envelope warps read (the reference passes
-    ``formants_new`` — pre-sanitize — to gf.synthesize at
-    SillySampler.py:1015, so zero/invalid frames DROP their warp anchor
-    instead of being interpolated over).
+    ``tracks`` are the sanitized+smoothed F1..F4 tracks (formant-strength
+    bells, ref SillySampler.py:802-806); ``tracks_raw`` the warp-anchor
+    tracks the per-band envelope warps read.  Upstream's
+    sanitize_smooth_formant aliases the canon'd float32 tracks, so its
+    gap-fill writes back into the ``formants_new`` dict gf.synthesize
+    warps by (SillySampler.py:264-283 via 802-805, 1015): invalid frames
+    arrive FILLED (interp/extrapolated, unsmoothed) unless velocity
+    changed the frame count or the track had no valid frame at all —
+    the host builds exactly that variant (resampler.build_tracks;
+    certified by tests/test_ref_upstream.py).
 
     ``pitch_ticks`` is the UTAU tick-rate pitch curve in MIDI semitones
     (edge-padded; true tick count in ``scalars["n_ticks"]``); the

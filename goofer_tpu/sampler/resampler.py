@@ -497,10 +497,29 @@ class GooferResampler:
                 # then sanitize edge-pads back out
                 # (ref: SillySampler.py:756,792)
                 looped = _np_fit(looped, target_frames)
-                # raw canon'd track: what gf.synthesize pad_trims and
-                # warps by (ref SillySampler.py:1015 / GOOFER.py:1000) —
-                # invalid frames drop their warp anchor, NOT interpolated
-                rows_raw.append(_np_fit(looped, t_env))
+                # warp-anchor track: upstream sanitize_smooth_formant
+                # ALIASES the canon'd float32 track, so its gap-fill
+                # writes back into the dict gf.synthesize warps by —
+                # invalid frames (unvoiced head, sub-min_hz) reach the
+                # warp FILLED (interp/extrapolated, UNsmoothed).  The
+                # aliasing breaks when sanitize pads/slices, i.e. when
+                # velocity changed the frame count (t_env !=
+                # target_frames) — then the warp sees the raw zeros.
+                # (ref: SillySampler.py:264-283 via 802-805, 1015;
+                # certified by tests/test_ref_upstream.py)
+                fit = _np_fit(looped, t_env)
+                good_any = np.any(
+                    np.isfinite(fit) & (fit >= SANITIZE_MIN_HZ[k - 1])
+                    & (fit <= sr * 0.48))
+                if t_env == target_frames and good_any:
+                    # all-bad tracks skip the fill: upstream's 300 Hz
+                    # fallback rebinds instead of writing through
+                    warp_tr = sanitize_formant_track(
+                        looped, t_env, sr, SANITIZE_MIN_HZ[k - 1],
+                        sigma_frames=0)
+                else:
+                    warp_tr = fit
+                rows_raw.append(warp_tr)
                 rows.append(sanitize_formant_track(
                     looped, t_env, sr, SANITIZE_MIN_HZ[k - 1],
                     sigma_frames=4))

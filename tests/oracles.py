@@ -89,8 +89,23 @@ def o_pulse_buf(T0, T, Ra, Rg, Rk, guard):
     return buf
 
 
+# Phase-accumulator dtype for o_pulse_train.  float64 matches the REAL
+# (numba-compiled) reference: numba promotes float32/int64 to float64,
+# so pulse_train_numba's `total_phase += f0i / sr` runs in f64
+# (GOOFER.py:479-491).  tests/test_ref_upstream.py flips this to
+# float32 while certifying against the STUBBED upstream execution,
+# where NumPy's weak scalar promotion keeps that same accumulator in
+# f32 — both sides then place onsets identically and the comparison is
+# float-exact with no exclusion windows.
+PULSE_PHASE_DTYPE = np.float64
+
+
 def o_pulse_train(f0, sr, Ra=0.02, Rg=1.7, Rk=0.8):
-    """GOOFER.py:473-554 — sequential phase accumulator + scatter."""
+    """GOOFER.py:473-554 — sequential phase accumulator + scatter.
+
+    See PULSE_PHASE_DTYPE for the f64/f32 accumulator split."""
+    if PULSE_PHASE_DTYPE == np.float32:
+        return _o_pulse_train_f32(f0, sr, Ra, Rg, Rk)
     f0 = np.asarray(f0, dtype=np.float64)
     n = len(f0)
     out = np.zeros(n, dtype=np.float64)
@@ -104,6 +119,35 @@ def o_pulse_train(f0, sr, Ra=0.02, Rg=1.7, Rk=0.8):
         while phase >= next_k:
             T = 1.0 / max(last_f0, 1e-6)
             T0 = int(round(sr * T))
+            T0 = min(max(T0, 3), 8192)
+            buf = o_pulse_buf(T0, T, Ra, Rg, Rk, guard=True)
+            end = min(n, i + T0)
+            out[i:end] += buf[: end - i]
+            next_k += 1.0
+    return out
+
+
+def _o_pulse_train_f32(f0, sr, Ra, Rg, Rk):
+    """The stubbed-upstream numerics: f32 f0 (the reference casts before
+    the kernel, GOOFER.py:1074), f32 running phase, f32 reciprocal for
+    T/T0.  Pulse SHAPES stay the f64 o_pulse_buf — they are
+    scale-invariant in T up to epsilon guards (~1e-7, far below the
+    certification atol)."""
+    fq = np.asarray(f0, dtype=np.float32)
+    n = len(fq)
+    out = np.zeros(n, dtype=np.float64)
+    terms = fq / np.float32(sr)
+    phase = np.float32(0.0)
+    next_k = 1.0
+    last_f0 = np.float32(160.0)
+    for i in range(n):
+        if fq[i] > 1e-6:
+            last_f0 = fq[i]
+        phase = np.float32(phase + terms[i])
+        while phase >= next_k:
+            T = float(np.float32(1.0) / np.float32(max(float(last_f0),
+                                                       1e-6)))
+            T0 = int(round(float(np.float32(sr) * np.float32(T))))
             T0 = min(max(T0, 3), 8192)
             buf = o_pulse_buf(T0, T, Ra, Rg, Rk, guard=True)
             end = min(n, i + T0)
@@ -947,6 +991,27 @@ def o_resample(features, pitch, velocity, flags="", offset=0, length=1000,
     Fs = [o_sanitize_formant(
         formants_canon.get(f"F{i+1}", np.zeros(T)), T, sr,
         min_hz=min_hz[i], sigma_frames=4) for i in range(4)]
+
+    # UPSTREAM SIDE EFFECT (SillySampler.py:264-283 via 802-805):
+    # sanitize_smooth_formant's `x = np.asarray(track, np.float32)`
+    # ALIASES the float32 track in formants_new, so its gap-fill
+    # `x[bad] = interp(...)` writes the interpolated/extrapolated values
+    # back into the dict that later feeds gf.synthesize's formant warp
+    # (line 1015) — invalid anchors (zeros in the unvoiced head, frames
+    # below the per-formant min_hz floor) arrive at the warp FILLED, not
+    # dropped.  The smoothing and the all-bad fallback rebind x, so only
+    # the fill leaks; pad/slice breaks aliasing when the track length
+    # differs from T (the post-velocity frame count).
+    for i in range(4):
+        tr = formants_canon.get(f"F{i+1}")
+        if tr is None or len(tr) != T:
+            continue
+        bad = (~np.isfinite(tr)) | (tr < min_hz[i]) | (tr > sr * 0.48)
+        if bad.any() and (~bad).any():
+            good = np.where(~bad)[0]
+            tr[bad] = o_interp_extrap(
+                good.astype(np.float64), tr[good].astype(np.float64),
+                np.where(bad)[0].astype(np.float64)).astype(np.float32)
 
     if any(abs(s) > 1e-6 for s in strengths):
         n_bins = env_new.shape[0]

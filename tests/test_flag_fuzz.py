@@ -102,7 +102,7 @@ def test_fuzz_decode_parity():
 
 
 def test_fuzz_with_pitch_strings():
-    from tests.test_resample_oracle import encode_pitch_string
+    from tests.fixtures_common import encode_pitch_string
 
     rng = np.random.default_rng(7)
     for _ in range(20):
