@@ -243,8 +243,18 @@ def render_reference(in_wav, out_wav, pitch, velocity, flags, offset,
         np.random.seed(seed)
         restore_rng = np.random.default_rng
 
+        # Reproducible but INDEPENDENT streams per default_rng() call:
+        # the real upstream entropy-seeds each call (one per synthesize
+        # noise block, volume jitter, growl...), so pinning every call
+        # to the SAME stream would correlate noise across layers — the
+        # layered stems then add coherently and the render comes out
+        # ~2 dB hot (caught when production's independent noise measured
+        # quieter than a pinned-rng golden).  Advancing the seed per
+        # call keeps renders reproducible without that artifact.
+        calls = iter(range(1 << 30))
+
         def seeded_rng(s=None, _seed=seed):
-            return restore_rng(_seed if s is None else s)
+            return restore_rng(_seed + next(calls) if s is None else s)
 
         np.random.default_rng = seeded_rng
     if capture:

@@ -75,16 +75,49 @@ def gen_repo(out_dir: Path) -> None:
 
 
 def gen_reference(out_dir: Path, reference: Path) -> None:
+    """Render the CONFIGS through the TRUE upstream resampler in-process
+    (tests/ref_harness.py stubs numba/soundfile/sounddevice), with the
+    RNG pinned to seed 0 so the stochastic flag families freeze.
+
+    The .goofy features are extracted by THIS repo and shared by both
+    sides: upstream extraction needs parselmouth (absent in this image),
+    and the golden suite pins RENDER parity — feature-extraction parity
+    is carried by tests/test_analysis.py and the Praat-track fixture."""
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import numpy as np
+
+    from tests import oracles as o
+    from tests.ref_harness import load_reference, render_reference
+    from goofer_tpu.sampler.resampler import GooferResampler
+
     out_dir.mkdir(parents=True, exist_ok=True)
     src = out_dir / "src.wav"
     make_source(src)
-    sampler = reference / "SillySampler.py"
-    for name, *args in CONFIGS:
-        out = out_dir / f"out_{name}.wav"
-        argv = [sys.executable, str(sampler), str(src), str(out)] + \
-            [str(a) for a in args]
-        subprocess.run(argv, check=True)
-        print(f"[golden-ref] {out.name}")
+    # one production render to populate src_features.goofy next to src
+    scratch = out_dir / "_warm.wav"
+    GooferResampler(str(src), str(scratch), *CONFIGS[0][1:], seed=0)
+    scratch.unlink()
+    assert (out_dir / "src_features.goofy").exists()
+
+    # The numba stub runs pulse_train_numba's phase accumulator in f32
+    # (NumPy weak promotion) where REAL numba promotes it to f64
+    # (GOOFER.py:479-491) — and the global max-|S| harmonic
+    # normalization is sensitive to pulse alignment, so the f32-phase
+    # stub render can sit a whole dB from the real reference.  Goldens
+    # must represent the REAL reference: substitute the oracle's
+    # f64-phase restatement, which tests/test_ref_upstream.py certifies
+    # float-exact against the upstream kernel modulo that dtype.
+    gf = load_reference()[0]
+    orig_pt = gf.pulse_train_numba
+    gf.pulse_train_numba = lambda f0, sr, Ra=0.02, Rg=1.7, Rk=0.8: \
+        o.o_pulse_train(f0, sr, Ra, Rg, Rk).astype(np.float32)
+    try:
+        for name, *args in CONFIGS:
+            out = out_dir / f"out_{name}.wav"
+            render_reference(src, out, *args, seed=0, capture=False)
+            print(f"[golden-ref] {out.name}")
+    finally:
+        gf.pulse_train_numba = orig_pt
     dump_praat_tracks(out_dir, src)
 
 
@@ -99,6 +132,10 @@ def dump_praat_tracks(out_dir: Path, src: Path) -> None:
         import parselmouth
     except ImportError as e:
         print(f"[golden-ref] skipping Praat tracks ({e})")
+        return
+    if not hasattr(parselmouth, "Sound"):
+        # the ref_harness placeholder stub, not the real package
+        print("[golden-ref] skipping Praat tracks (parselmouth stubbed)")
         return
     import soundfile as sf
 
