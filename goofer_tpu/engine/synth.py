@@ -77,6 +77,16 @@ class SynthStatic:
     formant_shift_on: bool = False
     apply_brightness: bool = True
     noise_transition_smoothness: float = 100.0
+    # False skips the whole aperiodic branch (breath-env blur, phase
+    # draws, S_uv/S_breath, two iSTFTs, mask smoothing) and returns zero
+    # noise stems.  For harmonic-only layer passes (su/sj,
+    # SillySampler.py:1037-1081) whose callers discard the stems.  The
+    # peak-normalize gain then divides by peak(harmonic) instead of
+    # upstream's peak(harmonic + discarded noise stems) — a bias bounded
+    # by noise_rms/harmonic_peak (~0.3 dB on the layer stem, inside the
+    # seed-to-seed realization floor measured in tests/test_golden.py),
+    # and exactly zero under P0 (normalize=0, gain=1).
+    need_noise: bool = True
     roughness_on: bool = False
     rough_k_list: tuple = (2, 3, 4)
     rough_h_list: tuple | None = None
@@ -170,7 +180,8 @@ def _synth_body(st: SynthStatic, env_spec, f0_interp, voicing_mask,
         valid_in = (idx < n_true_i).astype(jnp.float32)
         valid_out = (idx < hop * (n_true_i // hop)).astype(jnp.float32)
 
-    env4breath = gaussian_blur1d(env_spec, 1.75, axis=0)
+    env4breath = (gaussian_blur1d(env_spec, 1.75, axis=0)
+                  if st.need_noise else None)
     f0 = f0 * knobs["pitch_shift"]
 
     if st.warp_formants:
@@ -249,29 +260,34 @@ def _synth_body(st: SynthStatic, env_spec, f0_interp, voicing_mask,
 
     harmonic = istft(S_harm, hop, length=n)
 
-    env_noise = match_env_frames(env4breath, t_frames)
-    # random phases keyed per FRAME (fold_in(key, frame)): frame f's draw
-    # is independent of the total frame count, so a bucket-padded render
-    # produces the same noise as the unpadded graph on the true frames
-    phi = _frame_phases(k_phase, env_noise.shape[0], t_frames)
-    U = jax.lax.complex(jnp.cos(phi), jnp.sin(phi))
-    S_uv = U * env_noise
-    if st.masked:
-        S_uv = S_uv * frame_valid
-    S_breath = S_uv * hp_mask
+    if st.need_noise:
+        env_noise = match_env_frames(env4breath, t_frames)
+        # random phases keyed per FRAME (fold_in(key, frame)): frame f's
+        # draw is independent of the total frame count, so a
+        # bucket-padded render produces the same noise as the unpadded
+        # graph on the true frames
+        phi = _frame_phases(k_phase, env_noise.shape[0], t_frames)
+        U = jax.lax.complex(jnp.cos(phi), jnp.sin(phi))
+        S_uv = U * env_noise
+        if st.masked:
+            S_uv = S_uv * frame_valid
+        S_breath = S_uv * hp_mask
 
-    if st.apply_brightness:
-        S_bv = gaussian_blur_complex_freq(
-            S_breath * jnp.asarray(bright_breath), 0.5)
-        S_breath = jnp.where(voiced_cols, S_bv, S_breath)
+        if st.apply_brightness:
+            S_bv = gaussian_blur_complex_freq(
+                S_breath * jnp.asarray(bright_breath), 0.5)
+            S_breath = jnp.where(voiced_cols, S_bv, S_breath)
 
-    aper_breath = istft(S_breath, hop, length=n)
-    aper_uv_raw = istft(S_uv, hop, length=n)
+        aper_breath = istft(S_breath, hop, length=n)
+        aper_uv_raw = istft(S_uv, hop, length=n)
 
-    mask_smooth = smooth_mask_downsampled(
-        mask, sigma=st.noise_transition_smoothness, ds=4)
-    aper_bre = aper_breath * mask_smooth * knobs["breath_strength"]
-    aper_uv = aper_uv_raw * (1.0 - mask_smooth) * knobs["uv_strength"]
+        mask_smooth = smooth_mask_downsampled(
+            mask, sigma=st.noise_transition_smoothness, ds=4)
+        aper_bre = aper_breath * mask_smooth * knobs["breath_strength"]
+        aper_uv = aper_uv_raw * (1.0 - mask_smooth) * knobs["uv_strength"]
+    else:
+        aper_bre = jnp.zeros_like(harmonic)
+        aper_uv = jnp.zeros_like(harmonic)
 
     if st.volume_jitter:
         hj = make_volume_jitter(k_vjh, n, sr, st.volume_jitter_speed,

@@ -408,6 +408,9 @@ def render_note_core(rs: RenderStatic,
         max_overlap=rs.max_overlap,
         pulse_min_spacing=rs.su_min_spacing,   # su runs at f0/2
         masked=rs.masked,
+        # only harm_sub is consumed (SillySampler.py:1040-1059): skip
+        # the layer's aperiodic branch (see SynthStatic.need_noise)
+        need_noise=False,
     )
     layer_knobs = dict(knobs)
     for k in ("f0_jitter_strength", "volume_jitter_strength_harm",
@@ -437,6 +440,8 @@ def render_note_core(rs: RenderStatic,
             max_overlap=rs.growl_max_overlap,
             pulse_min_spacing=rs.growl_min_spacing,
             masked=rs.masked,
+            # only harm_gw is consumed (SillySampler.py:1061-1081)
+            need_noise=False,
         )
         _, harm_gw, _, _ = synth_core_impl(
             st_growl, env_new, f0_new * (0.5 * 2.0 ** noise), mask_new,
