@@ -279,6 +279,26 @@ def env_shape(env: jnp.ndarray, shape_amt: float) -> jnp.ndarray:
     return _match_frame_means(env, out)
 
 
+def env_shape_traced(env: jnp.ndarray, es) -> jnp.ndarray:
+    """Traced-amount env_shape for the universal fallback graph
+    (render_core.RenderStatic.universal): both branches run with
+    traced-sigma blurs (static max window) and the sign of ``es``
+    selects; es == 0 is an exact identity.  For |es| <= 1 the blur taps
+    equal the static path's exactly (gaussian_blur1d_traced)."""
+    from goofer_tpu.ops.filters import gaussian_blur1d_traced
+
+    es = jnp.asarray(es, jnp.float32)
+    s = jnp.abs(es)
+    blur_sm = gaussian_blur1d_traced(env, 1.0 + 6.0 * s, max_sigma=7.0,
+                                     axis=0)
+    smooth = jnp.maximum(0.0, _match_frame_means(env, blur_sm))
+    blur_sh = gaussian_blur1d_traced(env, 0.8 + 4.0 * s, max_sigma=4.8,
+                                     axis=0)
+    sharp = _match_frame_means(
+        env, jnp.maximum(0.0, env + (5.0 * s) * (env - blur_sh)))
+    return jnp.where(es < 0.0, smooth, jnp.where(es > 0.0, sharp, env))
+
+
 FORMANT_BELL_SIGMAS_HZ = (100.0, 200.0, 350.0, 500.0)
 
 

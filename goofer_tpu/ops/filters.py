@@ -103,6 +103,48 @@ def gaussian_blur1d(x: jnp.ndarray, sigma: float, axis: int = -1,
     return jnp.moveaxis(out, -1, axis)
 
 
+def gaussian_blur1d_traced(x: jnp.ndarray, sigma, max_sigma: float,
+                           axis: int = -1,
+                           truncate: float = 4.0) -> jnp.ndarray:
+    """Gaussian blur with a TRACED sigma (universal fallback graph).
+
+    The window is static (radius from ``max_sigma``); taps are computed
+    in-graph and zeroed beyond the reference's own radius
+    ``int(truncate*sigma + 0.5)``, so for any sigma <= max_sigma the
+    effective kernel equals gaussian_kernel1d(sigma) exactly (the extra
+    window positions contribute exact zeros).  sigma <= 0 selects a
+    delta kernel — exact identity."""
+    radius = int(truncate * float(max_sigma) + 0.5)
+    if radius <= 0:
+        return x
+    t = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    sig = jnp.maximum(jnp.asarray(sigma, jnp.float32), 1e-6)
+    k = jnp.exp(-0.5 * (t / sig) ** 2)
+    ref_radius = jnp.floor(truncate * sig + 0.5)
+    k = jnp.where(jnp.abs(t) <= ref_radius, k, 0.0)
+    k = k / jnp.sum(k)
+    delta = (t == 0).astype(jnp.float32)
+    k = jnp.where(jnp.asarray(sigma, jnp.float32) > 0.0, k, delta)
+
+    x = jnp.asarray(x)
+    moved = jnp.moveaxis(x, axis, -1)
+    shape = moved.shape
+    flat = moved.reshape((-1, shape[-1]))
+    padded = jnp.pad(flat, [(0, 0), (radius, radius)], mode="reflect")
+    ksize = 2 * radius + 1
+    length = int(padded.shape[-1])
+    if (ksize > _DIRECT_CONV_MAX_TAPS
+            or ksize * length > _DIRECT_CONV_MAX_WORK):
+        out = fft_conv_valid(padded, k, ksize)
+    else:
+        lhs = padded[:, None, :]
+        rhs = k.astype(padded.dtype)[None, None, :]
+        out = jax.lax.conv_general_dilated(
+            lhs, rhs, window_strides=(1,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"))[:, 0, :]
+    return jnp.moveaxis(out.reshape(shape), -1, axis)
+
+
 def gaussian_blur_freq(env: jnp.ndarray, sigma: float) -> jnp.ndarray:
     """Blur a (n_bins, T) spectrogram-like array along the frequency axis."""
     return gaussian_blur1d(env, sigma, axis=0)

@@ -90,7 +90,8 @@ def one_pole_highpass(x: jnp.ndarray, sr: float, fc: float) -> jnp.ndarray:
 
 
 def dynamic_one_pole_cascade(x: jnp.ndarray, fc: jnp.ndarray, sr: float,
-                             order: int, btype: str) -> jnp.ndarray:
+                             order: int, btype: str,
+                             n_active=None) -> jnp.ndarray:
     """Time-varying one-pole LP/HP applied ``order`` times sequentially,
     matching the reference core loop (ref: SillySampler.py:118-174).
 
@@ -98,6 +99,11 @@ def dynamic_one_pole_cascade(x: jnp.ndarray, fc: jnp.ndarray, sr: float,
               alpha = 2*pi*fc / (2*pi*fc + sr)
     HP pass:  y[i] = alpha[i]*(y[i-1] + x[i] - x[i-1]),  prev_x init = x[0]
               alpha = sr / (2*pi*fc + sr)
+
+    ``n_active`` (traced scalar, universal fallback graph): sections
+    k >= n_active pass their input through unchanged via a select —
+    ``order`` becomes the static MAXIMUM and the effective order is
+    traced, exactly reproducing the specialized graph's cascade depth.
     """
     x = jnp.asarray(x, dtype=jnp.float32)
     two_pi = 2.0 * jnp.pi
@@ -110,24 +116,30 @@ def dynamic_one_pole_cascade(x: jnp.ndarray, fc: jnp.ndarray, sr: float,
     alpha = alpha.astype(jnp.float32)
 
     y = x
-    for _ in range(max(1, int(order))):
+    for k in range(max(1, int(order))):
         if btype == "lowpass":
-            y = first_order_recurrence_pos(1.0 - alpha, alpha * y)
+            y_f = first_order_recurrence_pos(1.0 - alpha, alpha * y)
         else:
             dx = jnp.diff(y, prepend=y[0:1][0])
-            y = first_order_recurrence_pos(alpha, alpha * dx)
+            y_f = first_order_recurrence_pos(alpha, alpha * dx)
+        if n_active is not None:
+            y = jnp.where(k < n_active, y_f, y)
+        else:
+            y = y_f
     return y
 
 
 def dynamic_butter_filter(signal: jnp.ndarray, f0: jnp.ndarray, sr: float,
                           cutoff_factor: float, order: int = 4,
-                          btype: str = "lowpass") -> jnp.ndarray:
+                          btype: str = "lowpass",
+                          n_active=None) -> jnp.ndarray:
     """F0-tracking cascaded one-pole filter (ref: SillySampler.py:95-115).
 
     Per-sample cutoff = f0 * cutoff_factor where f0 > 0, else the raw
     cutoff_factor (interpreted as Hz); floors 60 Hz (LP) / 20 Hz (HP);
     ceiling 0.45*sr.  f0 gets a 5-tap moving-average smooth when any
-    sample is voiced.
+    sample is voiced.  ``n_active`` makes the cascade depth traced (see
+    dynamic_one_pole_cascade).
     """
     from goofer_tpu.ops.interp import resample_1d
 
@@ -149,4 +161,5 @@ def dynamic_butter_filter(signal: jnp.ndarray, f0: jnp.ndarray, sr: float,
     fc = jnp.where(f0_s > 0.0, f0_s * cutoff_factor, cutoff_factor)
     floor = 60.0 if btype == "lowpass" else 20.0
     fc = jnp.clip(fc, floor, 0.45 * sr)
-    return dynamic_one_pole_cascade(x, fc, sr, order, btype)
+    return dynamic_one_pole_cascade(x, fc, sr, order, btype,
+                                    n_active=n_active)

@@ -32,6 +32,7 @@ from goofer_tpu import config
 from goofer_tpu.engine.synth import SynthStatic, default_knobs, synth_core_impl
 from goofer_tpu.ops.envelope import (
     env_shape,
+    env_shape_traced,
     fry_env_shift,
     gather_lerp_columns,
 )
@@ -98,6 +99,15 @@ class RenderStatic:
     # length arrives as the traced scalar ``n_true`` and padding is
     # masked out of every normalization and the final output
     masked: bool = False
+    # Universal fallback graph (VERDICT r2 item 2): every branch toggle
+    # is ON and the remaining compile-time values (env-shape amount,
+    # tension sign/order) move into the traced scalars, so ONE compiled
+    # graph per geometry bucket renders ANY flag combination — unused
+    # features are exactly neutral at their default scalar values
+    # (strength 0 / ratio 1 / identity positions).  Used to bound
+    # time-to-first-note while the specialized graph compiles in the
+    # background (resampler.render_note_auto).
+    universal: bool = False
 
 
 def default_scalars() -> dict:
@@ -148,6 +158,10 @@ def default_scalars() -> dict:
         "fry_c0": 0.0, "fry_c1": 0.0, "fry_g0": 0.0, "fry_g1": 0.0,
         "fry_r0": 0.0, "fry_rs": 0.0, "fry_s": 0.0, "fry_e": 0.0,
         "fry_a1": 0.0, "fry_rin": 0.0, "fry_b0": 0.0, "fry_rout": 0.0,
+        # universal graph only: env-shape amount (es flag), a static
+        # kernel-size picker on the specialized path (RenderStatic
+        # .shape_amt) but traced through env_shape_traced here
+        "env_shape": 0.0,
     }
 
 
@@ -328,7 +342,9 @@ def render_note_core(rs: RenderStatic,
     env = env_cut.astype(jnp.float32)
     if rs.tilt_on:
         env = _tilt(env, sc["brightness_env"], sr)
-    if rs.shape_amt != 0.0:
+    if rs.universal:
+        env = env_shape_traced(env, sc["env_shape"])
+    elif rs.shape_amt != 0.0:
         env = env_shape(env, rs.shape_amt)
     if rs.fw_on:
         env = _fw_warp(env, sc["fw_amount"])
@@ -472,11 +488,34 @@ def render_note_core(rs: RenderStatic,
         aper_bre = aper_bre * (1.0 + (breath_j - 1.0) * vmask_smooth)
         aper_bre = aper_bre * (1.0 + (sc["sd_strength"] / 100.0) * 10)
 
-    # st: tension (ref: SillySampler.py:1114-1140)
-    if rs.tension_sign != 0:
+    # st: tension (ref: SillySampler.py:1114-1140).  Universal graph:
+    # both signed branches run and the traced sign/order select — the
+    # host's order derivation round(1 + |t|*4) is recomputed in-graph
+    # (numpy and jnp both round half-even) and tension == 0 selects the
+    # untouched pair, making the whole block exactly neutral.
+    if rs.tension_sign != 0 or rs.universal:
         rms_before = jnp.sqrt(jnp.mean((harmonic + aper_bre) ** 2) + 1e-12)
         abs_ten = jnp.abs(sc["tension"])
-        if rs.tension_sign < 0:
+        if rs.universal:
+            order_t = jnp.clip(jnp.round(1.0 + abs_ten * 4.0), 1.0, 6.0)
+            h_neg = dynamic_butter_filter(
+                harmonic, f0_new, sr, 2.0 - abs_ten * 0.75,
+                order=6, btype="lowpass", n_active=order_t)
+            b_neg = dynamic_butter_filter(
+                aper_bre, f0_new, sr, abs_ten, order=4, btype="highpass")
+            highpassed = dynamic_butter_filter(
+                harmonic, f0_new, sr, abs_ten * 4, order=4,
+                btype="highpass")
+            h_pos = harmonic + highpassed * (1.0 + abs_ten * 20.0)
+            b_pos = dynamic_butter_filter(
+                aper_bre, f0_new, sr, (2.0 - abs_ten) / 0.5, order=6,
+                btype="lowpass") * (1.0 - abs_ten)
+            ten = sc["tension"]
+            harmonic = jnp.where(ten < 0.0, h_neg,
+                                 jnp.where(ten > 0.0, h_pos, harmonic))
+            aper_bre = jnp.where(ten < 0.0, b_neg,
+                                 jnp.where(ten > 0.0, b_pos, aper_bre))
+        elif rs.tension_sign < 0:
             harmonic = dynamic_butter_filter(
                 harmonic, f0_new, sr, 2.0 - abs_ten * 0.75,
                 order=rs.tension_order, btype="lowpass")
@@ -531,6 +570,70 @@ def render_note_core(rs: RenderStatic,
 
 
 _render_note_jit = partial(jax.jit, static_argnums=(0,))(render_note_core)
+
+
+# ---------------------------------------------------------------------------
+# Universal fallback graph (VERDICT r2 item 2: bounded time-to-first-note).
+# One compiled graph per geometry bucket renders ANY flag combination;
+# disabled features are exactly neutral at their default scalar values.
+# Conservative static pulse bounds below cover f0 ceilings to ~2.75 kHz
+# (beyond any vocal range the YAML expressions can reach); notes whose
+# host-derived bounds exceed them return None and take the specialized
+# path.  growl/subharm spacings sit at the bucket floor (8), which covers
+# every reachable spread.
+
+_UNIVERSAL_MIN_SPACING = 16
+_UNIVERSAL_FLOOR_SPACING = 8
+
+
+def universal_static(rs: RenderStatic) -> RenderStatic | None:
+    """The all-features-on variant of a bucketed RenderStatic (see
+    RenderStatic.universal).  None when the note's pulse bounds exceed
+    the universal graph's coverage."""
+    from dataclasses import replace
+
+    if not rs.masked:
+        raise ValueError("universal graphs require bucketed geometry")
+    if (rs.min_spacing < _UNIVERSAL_MIN_SPACING
+            or rs.su_min_spacing < _UNIVERSAL_MIN_SPACING):
+        return None
+    return replace(
+        rs, universal=True, tilt_on=True, shape_amt=0.0, fw_on=True,
+        vel_on=True, strengths_on=True, pd_on=True, fry_on=True,
+        f0_jitter=True, volume_jitter=True, add_subharm=True,
+        warp_formants=True, warp_band=0, formant_shift_on=True,
+        su_on=True, sj_on=True, sd_on=True, tension_sign=0,
+        tension_order=6, sa_on=True,
+        max_overlap=config.PULSE_OVERLAP_BUCKETS[-1],
+        growl_max_overlap=config.PULSE_OVERLAP_BUCKETS[-1],
+        min_spacing=_UNIVERSAL_MIN_SPACING,
+        growl_min_spacing=_UNIVERSAL_FLOOR_SPACING,
+        su_min_spacing=_UNIVERSAL_MIN_SPACING,
+        subharm_min_spacing=_UNIVERSAL_FLOOR_SPACING)
+
+
+def universalize_inputs(rs: RenderStatic, arrays: dict, scalars: dict,
+                        p) -> tuple[dict, dict]:
+    """Adapt a note's (bucketed) arrays/scalars for the universal graph.
+
+    The scalar dict already carries exactly-neutral values for disabled
+    features (strength 0 / ratio 1 / zero fry bounds) EXCEPT the three
+    knobs whose flag decode can leave a nonzero value behind a False
+    toggle (negative sh/sr/sg, sampler/flags.py:142-155) — those gate on
+    the bool here.  Non-velocity notes get identity warp positions."""
+    a, s = dict(arrays), dict(scalars)
+    if not p.f0_jitter:
+        s["f0_jitter_strength"] = 0.0
+    if not p.volume_jitter:
+        s["volume_jitter_strength"] = 0.0
+    if not p.add_subharm:
+        s["subharm_weight"] = 0.0
+    if not rs.vel_on:
+        # identity consonant-velocity: env warp positions are the frame
+        # index, sample warp is the closed form at factor 1 (the
+        # vel_* scalar defaults) — velocity_positions(i) == i exactly
+        a["vel_env_pos"] = np.arange(rs.t_env, dtype=np.float32)
+    return a, s
 
 
 def render_note(rs: RenderStatic, arrays: dict, scalars: dict, key):

@@ -35,7 +35,12 @@ from goofer_tpu.sampler.plan import (
     plan_prefix_stretch,
     plan_track_loop,
 )
-from goofer_tpu.sampler.render_core import RenderStatic, render_note
+from goofer_tpu.sampler.render_core import (
+    RenderStatic,
+    render_note,
+    universal_static,
+    universalize_inputs,
+)
 from goofer_tpu.utils.audio_io import read_wav_mono, write_wav
 
 log = logging.getLogger("goofer_tpu")
@@ -230,6 +235,166 @@ def invalidate_render_cache(out_path: str, feat_path: str) -> None:
         log.warning("[SE] Cache invalidate failed: %s", e)
 
 
+# --------------------------------------------------------------------------
+# Universal fallback dispatch (VERDICT r2 item 2: bounded time-to-first-
+# note).  A warmed reference renders ANY flag string at full speed after
+# its one-time numba warmup (ref: GOOFER.py:1224); here every new
+# (flag-toggle set x geometry) is a fresh XLA graph — minutes of compile
+# for the flag-heavy stacks.  The bridge: warm_universal() compiles the
+# all-features-on graph (render_core.universal_static) for a geometry
+# bucket once; a first-sight note whose bucket is warmed then renders
+# immediately through it (unused features exactly neutral) while the
+# specialized graph compiles on a background thread.  Steady state is
+# unchanged: once a signature has rendered once, it dispatches directly.
+
+_graph_lock = threading.Lock()
+_seen_statics: set = set()        # specialized signatures compiled in-process
+_universal_ready: dict = {}       # universal static -> {array: shape}
+_inflight_statics: set = set()    # background compiles in progress
+_bg_compiler = None
+
+
+def _compiler():
+    global _bg_compiler
+    if _bg_compiler is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _bg_compiler = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="goofer-bg-compile")
+    return _bg_compiler
+
+
+def _find_covering_universal(ru: RenderStatic, shapes: dict):
+    """A warmed universal graph whose geometry DOMINATES the note's
+    bucketed geometry (every dimension >=): smaller notes promote into
+    it by edge-padding, so a handful of warmed sizes cover every note
+    below them.  Returns (target_static, target_shapes) or None.
+    Prefers the tightest cover (least padded compute)."""
+    from dataclasses import replace
+
+    best = None
+    with _graph_lock:
+        ready = list(_universal_ready.items())
+    for cand, cshapes in ready:
+        if (cand.sr, cand.n_fft, cand.hop) != (ru.sr, ru.n_fft, ru.hop):
+            continue
+        if cand != replace(ru, n=cand.n, t_env=cand.t_env,
+                           n_loop=cand.n_loop):
+            continue
+        if not all(k in cshapes
+                   and all(c >= s for c, s in zip(cshapes[k], shapes[k]))
+                   for k in shapes):
+            continue
+        if best is None or cand.n < best[0].n:
+            best = (cand, cshapes)
+    return best
+
+
+def _promote_arrays(arrays: dict, target_shapes: dict) -> dict:
+    """Edge-pad every device input up to the covering universal graph's
+    shapes (the same padding _bucketize uses: padded tails replay the
+    last true frame/sample and are masked out of the output)."""
+    out = {}
+    for k, v in arrays.items():
+        v = np.asarray(v)
+        tgt = target_shapes[k]
+        if tuple(v.shape) != tuple(tgt):
+            pad = [(0, t - s) for s, t in zip(v.shape, tgt)]
+            v = np.pad(v, pad, mode="edge")
+        out[k] = v
+    return out
+
+
+def render_note_auto(rsmp: "GooferResampler", rs: RenderStatic,
+                     arrays: dict, scalars: dict, prepare_bucketed):
+    """Dispatch a single-note render, bridging first-sight compiles
+    through a warmed universal graph when one covers the note.
+
+    ``prepare_bucketed`` lazily re-plans the note with bucketed geometry
+    (only needed on the fallback path)."""
+    with _graph_lock:
+        seen = rs in _seen_statics
+    if not seen:
+        rs_b, arrays_b, scalars_b = prepare_bucketed()
+        ru = universal_static(rs_b)
+        cover = None
+        if ru is not None:
+            a_u, s_u = universalize_inputs(rs_b, arrays_b, scalars_b,
+                                           rsmp.params)
+            cover = _find_covering_universal(
+                ru, {k: np.asarray(v).shape for k, v in a_u.items()})
+        if cover is not None:
+            with _graph_lock:
+                should_bg = rs not in _inflight_statics
+                if should_bg:
+                    _inflight_statics.add(rs)
+            if should_bg:
+                key = rsmp.key
+
+                def _compile_specialized():
+                    try:
+                        render_note(rs, arrays, scalars, key
+                                    ).block_until_ready()
+                        with _graph_lock:
+                            _seen_statics.add(rs)
+                    finally:
+                        with _graph_lock:
+                            _inflight_statics.discard(rs)
+
+                _compiler().submit(_compile_specialized)
+            log.info("Rendering via universal graph "
+                     "(specialized graph compiling in background)")
+            target, tshapes = cover
+            out = render_note(target, _promote_arrays(a_u, tshapes),
+                              s_u, rsmp.key)
+            return out[: rs.n]
+    out = render_note(rs, arrays, scalars, rsmp.key)
+    with _graph_lock:
+        _seen_statics.add(rs)
+    return out
+
+
+def warm_universal(note_seconds=(0.75, 2.0), sr: int = 44100,
+                   n_fft: int = config.SAMPLER_N_FFT,
+                   hop: int = config.SAMPLER_HOP) -> int:
+    """Compile the universal render graph for the geometry buckets that
+    ``note_seconds``-long notes land in (server warmup / probe use);
+    every note whose bucketed geometry fits UNDER a warmed size promotes
+    into it (render_note_auto), so a short ladder of sizes covers the
+    interactive range.  Synthetic features are generated in-process —
+    no voicebank needed.  Returns the number of graphs compiled."""
+    rng = np.random.default_rng(0)
+    compiled = 0
+    for sec in note_seconds:
+        # generous source: covers cuts up to ~1.5x the note length
+        ylen = int(sec * 1.5 * sr) + n_fft
+        t_src = 1 + ylen // hop
+        env = np.exp(rng.normal(-4.0, 1.0,
+                                (n_fft // 2 + 1, t_src))).astype(np.float32)
+        f0i = np.full(ylen, 220.0, dtype=np.float32)
+        vmask = np.ones(ylen, dtype=np.float32)
+        forms = {i: np.full(t_src, 500.0 * (i + 1), dtype=np.float32)
+                 for i in range(4)}
+        r = GooferResampler(
+            "_warm.wav", "_warm_out.wav", "C4", 100, "",
+            0, int(sec * 1000), 30, 0, 100, 0, "!120", "AA",
+            autorender=False, n_fft=n_fft, hop=hop)
+        rs_b, arrays_b, scalars_b = r.prepare(
+            env, f0i, vmask, forms, sr, ylen, bucket=True)
+        ru = universal_static(rs_b)
+        if ru is None:
+            continue
+        a_u, s_u = universalize_inputs(rs_b, arrays_b, scalars_b, r.params)
+        shapes = {k: tuple(np.asarray(v).shape) for k, v in a_u.items()}
+        with _graph_lock:
+            if _universal_ready.get(ru) == shapes:
+                continue
+        render_note(ru, a_u, s_u, r.key).block_until_ready()
+        with _graph_lock:
+            _universal_ready[ru] = shapes
+        compiled += 1
+    return compiled
+
+
 # fry-off scalar block (see GooferResampler._fry_scalars)
 _FRY_ZERO = {k: 0.0 for k in (
     "fry_c0", "fry_c1", "fry_g0", "fry_g1", "fry_r0", "fry_rs",
@@ -377,10 +542,21 @@ class GooferResampler:
 
     def resample(self, env, f0i, vmask, forms, sr, ylen):
         """Prepare host-side plans/arrays and run the fused render graph
-        (sampler/render_core.py) in a single device dispatch."""
+        (sampler/render_core.py) in a single device dispatch.
+
+        First sight of a graph signature (flag-toggle set x geometry)
+        would cost an XLA compile (seconds to minutes for flag-heavy
+        stacks); when a warmed UNIVERSAL graph covers the note, it
+        renders immediately through that while the specialized graph
+        compiles in a background thread (VERDICT r2 item 2 —
+        render_note_auto)."""
         rs, arrays, scalars = self.prepare(env, f0i, vmask, forms, sr, ylen)
         log.info("Synthesizing")
-        return render_note(rs, arrays, scalars, self.key)
+        out = render_note_auto(
+            self, rs, arrays, scalars,
+            lambda: self.prepare(env, f0i, vmask, forms, sr, ylen,
+                                 bucket=True))
+        return out
 
     # ------------------------------------------------------------------
 
@@ -709,6 +885,9 @@ class GooferResampler:
         }
         scalars = {
             "brightness_env": p.brightness_env,
+            # compile-time on the specialized graph (RenderStatic
+            # .shape_amt picks blur kernels); traced on the universal one
+            "env_shape": p.env_shape,
             "fw_amount": p.formant_width,
             "formant_shift": p.formant_shift,
             "formant_band_shifts": np.asarray(p.f_shifts, dtype=np.float32),

@@ -85,6 +85,17 @@ def _background_warmup():
         GooferResampler(src, os.path.join(tmp, "out.wav"), "C4", 100, "",
                         0, 300, 60, 0, 100, 0, "!120", "AA")
         print("Warmup render done; graphs compiled.", flush=True)
+
+        # universal fallback graphs: after this, a first-sight flag
+        # combo renders immediately through the covering universal
+        # graph while its specialized graph compiles in the background
+        # (resampler.render_note_auto; VERDICT r2 item 2).  With the
+        # persistent XLA cache this deserializes instead of compiling.
+        from goofer_tpu.sampler.resampler import warm_universal
+
+        n = warm_universal(sr=sr)
+        print(f"Universal fallback graphs ready ({n} compiled).",
+              flush=True)
     except Exception:
         print(f"Warmup render failed (first request will compile):\n"
               f"{_tb.format_exc()}", flush=True)
