@@ -63,10 +63,109 @@ def _unpack(flat_np, shapes, splits):
     return [p.reshape(sh.shape) for p, sh in zip(parts, shapes)]
 
 
+def _packed_mixed(graph, example_args):
+    """_packed for heterogeneous output dtypes: f16/u8/i32 outputs are
+    BITCAST into the one f32 fetch vector (VERDICT r2 item 4 — the warm
+    extraction fetch shipped ~5x the bytes it kept; f16 knots and u8
+    masks halve/quarter their share).  The host views the words back."""
+    shapes = jax.eval_shape(graph, *example_args)
+    words = []
+    for sh in shapes:
+        sz = int(np.prod(sh.shape))
+        if sh.dtype in (jnp.float32.dtype, jnp.int32.dtype):
+            words.append(sz)
+        elif sh.dtype == jnp.float16.dtype:
+            words.append(-(-sz // 2))
+        elif sh.dtype == jnp.uint8.dtype:
+            words.append(-(-sz // 4))
+        else:
+            raise TypeError(f"unpackable dtype {sh.dtype}")
+    splits = list(np.cumsum(words)[:-1])
+
+    def packed(*args):
+        outs = graph(*args)
+        flats = []
+        for o in outs:
+            b = o.reshape(-1)
+            if o.dtype == jnp.float32.dtype:
+                flats.append(b)
+            elif o.dtype == jnp.int32.dtype:
+                flats.append(jax.lax.bitcast_convert_type(b, jnp.float32))
+            elif o.dtype == jnp.float16.dtype:
+                pad = (-b.shape[0]) % 2
+                if pad:
+                    b = jnp.pad(b, (0, pad))
+                flats.append(jax.lax.bitcast_convert_type(
+                    b.reshape(-1, 2), jnp.float32))
+            elif o.dtype == jnp.uint8.dtype:
+                pad = (-b.shape[0]) % 4
+                if pad:
+                    b = jnp.pad(b, (0, pad))
+                flats.append(jax.lax.bitcast_convert_type(
+                    b.reshape(-1, 4), jnp.float32))
+        return jnp.concatenate(flats)
+
+    return packed, shapes, splits
+
+
+def _unpack_mixed(flat_np, shapes, splits):
+    parts = np.split(np.ascontiguousarray(flat_np, dtype=np.float32),
+                     splits)
+    outs = []
+    for p, sh in zip(parts, shapes):
+        dt = np.dtype(str(sh.dtype))
+        sz = int(np.prod(sh.shape))
+        outs.append(np.ascontiguousarray(p).view(dt)[:sz].reshape(sh.shape))
+    return outs
+
+
+def _lean_tail(sr, n_fft, k_values, log_env, f0_interp, voicing_mask,
+               tracks, errs):
+    """Device side of the adaptive-K knot pick (VERDICT r2 item 4): the
+    first K under budget is selected ON DEVICE and only its (padded)
+    knot rows leave the chip as f16 — the dense env/log_env (2 x
+    n_bins x T f32, the bulk of the warm-extraction fetch) never ship.
+    Same arithmetic as the host _pick_knots; the f32->f16 cast rounds
+    nearest-even on both sides, so saved .goofy bytes are identical."""
+    n_bins = n_fft // 2 + 1
+    ok = errs < KNOT_EPS
+    chosen = jnp.where(jnp.any(ok), jnp.argmax(ok),
+                       len(k_values) - 1).astype(jnp.int32)
+    k_top = max(k_values)
+    idx_stack = np.stack([
+        np.pad(_knot_bin_idx(sr, n_fft, k, n_bins),
+               (0, k_top - k), mode="edge")
+        for k in k_values])
+    rows = jnp.take(jnp.asarray(idx_stack), chosen, axis=0)
+    knots16 = log_env[rows, :].astype(jnp.float16)
+    mask8 = voicing_mask.astype(jnp.uint8)
+    return knots16, chosen, f0_interp, mask8, tracks
+
+
+def _knots_from_lean(knots16, chosen_idx, k_values, sr, n_fft,
+                     t_true=None) -> dict:
+    k = int(k_values[int(chosen_idx)])
+    vals = knots16[:k] if t_true is None else knots16[:k, :t_true]
+    n_bins = n_fft // 2 + 1
+    return {
+        "mode": "knots",
+        "knot_vals_log": np.asarray(vals, dtype=np.float16),
+        "hz_knots": mel_knot_freqs(sr, n_fft, k),
+        "n_bins": int(n_bins),
+        "n_fft": int(n_fft),
+        "sr": int(sr),
+    }
+
+
 @functools.lru_cache(maxsize=32)
 def _analysis_graph(n: int, sr: int, n_fft: int, hop: int, f0_min: float,
-                    f0_merge_range: int, with_formants: bool):
-    """Build + jit the fused analysis for one static configuration."""
+                    f0_merge_range: int, with_formants: bool,
+                    lean: bool = False):
+    """Build + jit the fused analysis for one static configuration.
+
+    ``lean``: fetch only what the .goofy keeps — device-picked f16 knot
+    rows, chosen-K index, per-sample f0, u8 voicing mask and formant
+    tracks (no dense env_spec/log_env; VERDICT r2 item 4)."""
     n_bins = n_fft // 2 + 1
     k_values = tuple(range(KNOT_K_START, KNOT_K_MAX + 1, KNOT_K_STEP))
 
@@ -110,10 +209,14 @@ def _analysis_graph(n: int, sr: int, n_fft: int, hop: int, f0_min: float,
                                     preferred_element_type=jnp.float32))
             errs.append(jnp.max(jnp.abs(recon - env_check)
                                 / (env_check + 1e-8)))
+        if lean:
+            return _lean_tail(sr, n_fft, k_values, log_env, f0_interp,
+                              voicing_mask, tracks, jnp.stack(errs))
         return env_spec, f0_interp, voicing_mask, tracks, log_env, \
             jnp.stack(errs)
 
-    packed, shapes, splits = _packed(
+    pack = _packed_mixed if lean else _packed
+    packed, shapes, splits = pack(
         graph, (jax.ShapeDtypeStruct((n,), jnp.float32),))
     return jax.jit(packed), k_values, shapes, splits
 
@@ -190,10 +293,14 @@ def _analysis_graph_bucketed(n_pad: int, sr: int, n_fft: int, hop: int,
                                     preferred_element_type=jnp.float32))
             errs.append(jnp.max(jnp.abs(recon - env_check)
                                 / (env_check + 1e-8)))
+        if lean:
+            return _lean_tail(sr, n_fft, k_values, log_env, f0_interp,
+                              voicing_mask, tracks, jnp.stack(errs))
         return env_spec, f0_interp, voicing_mask, tracks, log_env, \
             jnp.stack(errs)
 
-    packed, shapes, splits = _packed(graph, (
+    pack = _packed_mixed if lean else _packed
+    packed, shapes, splits = pack(graph, (
         jax.ShapeDtypeStruct((n_pad,), jnp.float32),
         jax.ShapeDtypeStruct((), jnp.float32),
         jax.ShapeDtypeStruct((pf_pad,), jnp.int32),

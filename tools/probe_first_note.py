@@ -81,11 +81,19 @@ def main():
         t0 = time.perf_counter()
         spec = np.asarray(r.resample(env, f0i, vmask, forms, sr, ylen))
         steady = time.perf_counter() - t0
+        # parity metric: LSD, not waveform correlation — the universal
+        # render runs at the promoted bucket length, so the UNSEEDED-
+        # RANDOM jitters (reference semantics: a different realization
+        # every render) draw differently than the specialized graph;
+        # the spectral envelope is what must match.
+        from goofer_tpu.utils.metrics import lsd_db
+
+        lsd = lsd_db(out[: len(spec)], spec, SR)
         rel = (np.linalg.norm(out[: len(spec)] - spec)
                / (np.linalg.norm(spec) + 1e-12))
         print(f"{'':30s} steady        {steady*1e3:8.1f} ms "
               f"({audio_s/steady:6.1f}x rt)   universal-vs-spec "
-              f"rel={rel:.2e}", flush=True)
+              f"lsd={lsd:.2f}dB rel={rel:.2e}", flush=True)
 
 
 if __name__ == "__main__":
