@@ -125,8 +125,10 @@ def _lean_tail(sr, n_fft, k_values, log_env, f0_interp, voicing_mask,
     first K under budget is selected ON DEVICE and only its (padded)
     knot rows leave the chip as f16 — the dense env/log_env (2 x
     n_bins x T f32, the bulk of the warm-extraction fetch) never ship.
-    Same arithmetic as the host _pick_knots; the f32->f16 cast rounds
-    nearest-even on both sides, so saved .goofy bytes are identical."""
+    Same arithmetic as the host _pick_knots (the f32->f16 cast rounds
+    nearest-even on both sides); saved .goofy payload is identical up to
+    XLA fusion reassociation of the shared graph ops (<=1-2 ulp,
+    tests/test_batch_extract.py::test_lean_extraction_identical)."""
     n_bins = n_fft // 2 + 1
     ok = errs < KNOT_EPS
     chosen = jnp.where(jnp.any(ok), jnp.argmax(ok),
@@ -224,7 +226,8 @@ def _analysis_graph(n: int, sr: int, n_fft: int, hop: int, f0_min: float,
 @functools.lru_cache(maxsize=32)
 def _analysis_graph_bucketed(n_pad: int, sr: int, n_fft: int, hop: int,
                              f0_min: float, f0_merge_range: int,
-                             with_formants: bool, pf_pad: int, ff_pad: int):
+                             with_formants: bool, pf_pad: int, ff_pad: int,
+                             lean: bool = False):
     """Bucket-padded, vmapped analysis graph: one compile serves every
     file whose length rounds up to ``n_pad`` (SURVEY §7 / an earlier perf-review
     item 4).  Waveforms carry trailing zeros; the pitch/formant frame
@@ -312,21 +315,36 @@ def _analysis_graph_bucketed(n_pad: int, sr: int, n_fft: int, hop: int,
 
 def extract_features(y, sr: int, n_fft: int = 1024, hop_length: int = 256,
                      f0_min: float = 75.0, f0_merge_range: int = 2,
-                     with_formants: bool = True):
+                     with_formants: bool = True, dense: bool = True):
     """Returns (env_spec, f0_interp, voicing_mask, formants, env_knots)
-    with the reference's shapes and dtypes (NumPy on the way out)."""
+    with the reference's shapes and dtypes (NumPy on the way out).
+
+    ``dense=False`` (folder extraction / .goofy-bound callers): the
+    adaptive-K knot pick runs ON DEVICE and only the saved payload is
+    fetched — f16 knot rows, f0, u8 mask, tracks — skipping the dense
+    env_spec/log_env (~4x fewer d2h bytes; VERDICT r2 item 4).
+    env_spec comes back None; the .goofy payload matches the dense
+    path's to <=1-2 ulp (XLA fusion reassociation)."""
     y = np.asarray(y, dtype=np.float32)
     n = len(y)
     graph, k_values, shapes, splits = _analysis_graph(
         n, int(sr), n_fft, hop_length, float(f0_min),
-        int(f0_merge_range), bool(with_formants))
+        int(f0_merge_range), bool(with_formants), lean=not dense)
     flat = np.asarray(graph(jnp.asarray(y)))          # ONE d2h round trip
-    env_spec, f0_interp, voicing_mask, tracks, log_env, errs = _unpack(
-        flat, shapes, splits)
 
-    env_knots = _pick_knots(log_env, errs, k_values, sr, n_fft)
+    if not dense:
+        knots16, chosen, f0_interp, mask8, tracks = _unpack_mixed(
+            flat, shapes, splits)
+        env_knots = _knots_from_lean(knots16, chosen, k_values, sr, n_fft)
+        t_frames = knots16.shape[1]
+        env_spec = None
+        voicing_mask = mask8
+    else:
+        env_spec, f0_interp, voicing_mask, tracks, log_env, errs = _unpack(
+            flat, shapes, splits)
+        env_knots = _pick_knots(log_env, errs, k_values, sr, n_fft)
+        t_frames = env_spec.shape[1]
 
-    t_frames = env_spec.shape[1]
     if tracks.shape[1] < t_frames:
         tracks = np.pad(tracks, ((0, 0), (0, t_frames - tracks.shape[1])))
     else:
@@ -362,7 +380,7 @@ def extract_features_batch(ys, sr: int, n_fft: int = 1024,
                            hop_length: int = 256, f0_min: float = 75.0,
                            f0_merge_range: int = 2,
                            with_formants: bool = True,
-                           chunk: int = 16):
+                           chunk: int = 16, dense: bool = True):
     """Batched feature extraction: waveforms bucket by padded length and
     each bucket runs as vmapped dispatches of ONE compiled analysis graph
     (chunks padded to a fixed batch), so a voicebank of arbitrary file
@@ -370,7 +388,9 @@ def extract_features_batch(ys, sr: int, n_fft: int = 1024,
     multi-second compile per distinct length.
 
     ``ys``: list of 1-D float arrays at a common sample rate.  Returns a
-    list of per-file tuples shaped exactly like extract_features."""
+    list of per-file tuples shaped exactly like extract_features.
+    ``dense=False``: device-side knot pick, no dense env in the fetch
+    (env comes back None per file; see extract_features)."""
     from goofer_tpu.analysis.formants import formant_frame_grid
     from goofer_tpu.analysis.pitch import (
         PitchConfig,
@@ -397,7 +417,8 @@ def extract_features_batch(ys, sr: int, n_fft: int = 1024,
         ff_pad = n_pad // hop_length + 2
         graph, k_values, shapes, splits = _analysis_graph_bucketed(
             n_pad, int(sr), n_fft, hop_length, float(f0_min),
-            int(f0_merge_range), bool(with_formants), pf_pad, ff_pad)
+            int(f0_merge_range), bool(with_formants), pf_pad, ff_pad,
+            lean=not dense)
         for c0 in range(0, len(group), chunk):
             part = group[c0:c0 + chunk]
             b_pad = config.bucket_batch(min(chunk, len(part)))
@@ -425,27 +446,31 @@ def extract_features_batch(ys, sr: int, n_fft: int = 1024,
 
             flat_b = np.asarray(graph(
                 yb, n_true, p_starts, p_nf, f_starts))  # ONE fetch/chunk
-            rows_np = [_unpack(row, shapes, splits) for row in flat_b]
-            env_b = [r[0] for r in rows_np]
-            f0_b = [r[1] for r in rows_np]
-            mask_b = [r[2] for r in rows_np]
-            tracks_b = [r[3] for r in rows_np]
-            log_b = [r[4] for r in rows_np]
-            errs_b = [r[5] for r in rows_np]
+            unpack = _unpack_mixed if not dense else _unpack
+            rows_np = [unpack(row, shapes, splits) for row in flat_b]
 
             for j, (idx, y) in enumerate(part):
                 n = len(y)
                 t_true = 1 + n // hop_length
-                env = env_b[j][:, :t_true]
-                knots = _pick_knots(log_b[j][:, :t_true], errs_b[j],
-                                    k_values, sr, n_fft)
-                tr = tracks_b[j][:, :int(ff_true[j])]
+                if not dense:
+                    knots16, chosen, f0_j, mask8, tr = rows_np[j]
+                    env = None
+                    knots = _knots_from_lean(knots16, chosen, k_values,
+                                             sr, n_fft, t_true=t_true)
+                    f0_out = f0_j[:n].astype(np.float64)
+                    mask_out = mask8[:n].astype(np.float64)
+                else:
+                    env_j, f0_j, mask_j, tr, log_j, errs_j = rows_np[j]
+                    env = env_j[:, :t_true]
+                    knots = _pick_knots(log_j[:, :t_true], errs_j,
+                                        k_values, sr, n_fft)
+                    f0_out = f0_j[:n].astype(np.float64)
+                    mask_out = mask_j[:n].astype(np.float64)
+                tr = tr[:, :int(ff_true[j])]
                 if tr.shape[1] < t_true:
                     tr = np.pad(tr, ((0, 0), (0, t_true - tr.shape[1])))
                 else:
                     tr = tr[:, :t_true]
                 formants = {k + 1: tr[k] for k in range(tr.shape[0])}
-                results[idx] = (env, f0_b[j][:n].astype(np.float64),
-                                mask_b[j][:n].astype(np.float64),
-                                formants, knots)
+                results[idx] = (env, f0_out, mask_out, formants, knots)
     return results

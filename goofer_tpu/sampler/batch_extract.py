@@ -36,8 +36,11 @@ def process_file(audio_file: Path, n_fft: int = 1024,
     try:
         log.info("[EXTRACT] %s", audio_file)
         y, sr = read_wav_mono(audio_file)
-        env, f0i, vmask, forms, knots = extract_features(
-            y, sr, n_fft=n_fft, hop_length=hop)
+        # dense=False: the .goofy keeps knots, not the dense envelope —
+        # the device picks K and only the saved payload is fetched
+        # (VERDICT r2 item 4)
+        _, f0i, vmask, forms, knots = extract_features(
+            y, sr, n_fft=n_fft, hop_length=hop, dense=False)
         save_features(feat_file, knots, f0i, vmask, forms, sr, len(y))
         return True
     except Exception as e:
@@ -98,7 +101,8 @@ def extract_features_recursive(input_path, n_fft: int = 1024,
                 log.info("[EXTRACT] %s", f)
             try:
                 results = extract_features_batch(ys, sr, n_fft=n_fft,
-                                                 hop_length=hop)
+                                                 hop_length=hop,
+                                                 dense=False)
             except Exception:
                 log.exception("[ERROR] Batched extraction failed for "
                               "sr=%d group; falling back per-file", sr)

@@ -312,7 +312,7 @@ def render_note_auto(rsmp: "GooferResampler", rs: RenderStatic,
     ``prepare_bucketed`` lazily re-plans the note with bucketed geometry
     (only needed on the fallback path)."""
     with _graph_lock:
-        seen = rs in _seen_statics
+        seen = rs in _seen_statics or not _universal_ready
     if not seen:
         rs_b, arrays_b, scalars_b = prepare_bucketed()
         ru = universal_static(rs_b)
@@ -552,6 +552,12 @@ class GooferResampler:
         render_note_auto)."""
         rs, arrays, scalars = self.prepare(env, f0i, vmask, forms, sr, ylen)
         log.info("Synthesizing")
+        if self.params.use_editor:
+            # SE1 is a blocking interactive render and prepare() is not
+            # side-effect-free under it (the editor round-trip) — the
+            # lazy bucketed re-plan of the universal bridge would open
+            # the editor twice; render directly
+            return render_note(rs, arrays, scalars, self.key)
         out = render_note_auto(
             self, rs, arrays, scalars,
             lambda: self.prepare(env, f0i, vmask, forms, sr, ylen,

@@ -49,6 +49,14 @@ def read_wav(path) -> tuple[np.ndarray, int]:
     if _sf is not None:
         data, sr = _sf.read(str(path))
         return np.asarray(data), int(sr)
+    if not str(path).lower().endswith(".wav"):
+        # ref reads flac/aiff/mp3 via libsndfile (SillySampler.py:211-212);
+        # without it only WAV decodes here — name the missing dependency
+        # instead of failing in the RIFF parser (VERDICT r2 item 8)
+        raise RuntimeError(
+            f"cannot decode {path}: non-WAV inputs (flac/aiff/mp3) "
+            f"require the optional 'soundfile' (libsndfile) package, "
+            f"which is not importable in this environment")
     sr, data = _wavfile.read(str(path))
     if data.dtype == np.int16:
         data = data.astype(np.float64) / 32768.0

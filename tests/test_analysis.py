@@ -261,3 +261,96 @@ def test_praat_ground_truth():
         assert sel.mean() > 0.5
         med_g, med_w = np.median(got[sel]), np.median(want[sel])
         assert abs(med_g - med_w) / med_w < 0.10, (k, med_g, med_w)
+
+
+# ------------------------------------------- adversarial voices (VERDICT r2
+# item 7: Praat itself cannot run in this image, so the reimplementation is
+# pinned on the hostile synthetic cases its C++ behavior is known for)
+
+def test_pitch_subfloor_fry_no_garbage():
+    """55-70 Hz fry sits BELOW the 75 Hz analysis floor
+    (ref: GOOFER.py:341-353, floor=75).  The AC tracker cannot represent
+    it; acceptable outputs are unvoiced or a harmonic (2x/3x/4x) of the
+    true pulse rate — never junk values off the harmonic grid."""
+    for true_f0 in (55.0, 62.0, 70.0):
+        n = int(0.6 * SR)
+        period = int(round(SR / true_f0))
+        y = np.zeros(n, dtype=np.float32)
+        y[::period] = 1.0
+        # fry-ish: decaying pulse ring
+        ring = np.exp(-np.arange(200) / 40.0).astype(np.float32)
+        y = np.convolve(y, ring)[:n] * 0.4
+        f0 = pitch_mod.track_pitch(jnp.asarray(y), SR, 256 / SR)
+        voiced = np.asarray(f0[f0 > 0])
+        if len(voiced) == 0:
+            continue   # all-unvoiced is acceptable
+        ratio = voiced / true_f0
+        cents_off_grid = 1200 * np.abs(
+            np.log2(ratio / np.round(ratio).clip(1)))
+        ok = (cents_off_grid < 60) & (np.round(ratio) >= 1)
+        assert ok.mean() > 0.9, (true_f0, voiced[~ok][:5])
+
+
+def test_pitch_octave_jump_tracks_both_sides():
+    """A hard 150 -> 300 Hz octave step: the Viterbi transition cost must
+    not glue the track to either octave across the jump."""
+    y1 = _sawtooth(150.0, 0.35)
+    y2 = _sawtooth(300.0, 0.35)
+    y = np.concatenate([y1, y2])
+    f0 = np.asarray(pitch_mod.track_pitch(jnp.asarray(y), SR, 256 / SR))
+    half = len(f0) // 2
+    lo = f0[4:half - 4]
+    hi = f0[half + 4:-4]
+    lo_v, hi_v = lo[lo > 0], hi[hi > 0]
+    assert len(lo_v) > 0.7 * len(lo) and len(hi_v) > 0.7 * len(hi)
+    assert abs(np.median(lo_v) - 150.0) < 5.0, np.median(lo_v)
+    assert abs(np.median(hi_v) - 300.0) < 10.0, np.median(hi_v)
+    # the switch happens within ~6 frames of the true boundary
+    sel = np.where(f0 > 220)[0]
+    assert len(sel) and abs(int(sel[0]) - half) <= 6
+
+
+def test_pitch_vibrato_near_ceiling():
+    """Soprano vibrato brushing the 950 Hz analysis ceiling
+    (ref: GOOFER.py:341-353, ceiling=950): carrier 880 Hz, +-80 cents at
+    6 Hz peaks ~920 Hz.  Must stay voiced and track the modulation."""
+    n = int(0.7 * SR)
+    t = np.arange(n) / SR
+    curve = 880.0 * 2.0 ** ((80.0 / 1200.0) * np.sin(2 * np.pi * 6.0 * t))
+    y = _sawtooth(curve, 0.7)
+    f0 = np.asarray(pitch_mod.track_pitch(jnp.asarray(y), SR, 256 / SR))
+    # the AC analysis window (~40 ms at floor 75) centers each frame's
+    # estimate half a window past the frame start — a 6 Hz vibrato makes
+    # that 20 ms offset a 43-degree phase lag, so evaluate the truth at
+    # the frame CENTERS
+    from goofer_tpu.analysis.pitch import PitchConfig, pitch_window_len
+
+    half_w = pitch_window_len(SR, PitchConfig()) / (2 * SR)
+    frames_t = np.arange(len(f0)) * 256 / SR + half_w
+    want = 880.0 * 2.0 ** ((80.0 / 1200.0)
+                           * np.sin(2 * np.pi * 6.0 * frames_t))
+    sel = (f0 > 0) & (frames_t > 0.05) & (frames_t < 0.65)
+    assert sel.mean() > 0.75, sel.mean()
+    cents = 1200 * np.log2(f0[sel] / want[sel])
+    assert np.sqrt(np.mean(cents ** 2)) < 40.0, np.sqrt(np.mean(cents ** 2))
+
+
+def test_pitch_breathy_onset_timing():
+    """Breath noise -> voiced onset: no voiced frames during the pure
+    breath, and voicing latches within ~5 frames of the true onset."""
+    n_br = int(0.3 * SR)
+    breath = 0.12 * RNG.standard_normal(n_br).astype(np.float32)
+    tone = _sawtooth(200.0, 0.4)
+    # breathy blend-in: tone fades up over 30 ms
+    fade = np.clip(np.arange(len(tone)) / (0.03 * SR), 0, 1)
+    y = np.concatenate([breath, (tone * fade
+                                 + 0.1 * RNG.standard_normal(len(tone))
+                                 ).astype(np.float32)])
+    f0 = np.asarray(pitch_mod.track_pitch(jnp.asarray(y), SR, 256 / SR))
+    onset_frame = n_br // 256
+    pre = f0[: max(onset_frame - 5, 0)]
+    assert np.mean(pre > 0) < 0.15, np.mean(pre > 0)
+    post = f0[onset_frame + 5: onset_frame + 40]
+    assert np.mean(post > 0) > 0.7, np.mean(post > 0)
+    voiced_post = post[post > 0]
+    assert abs(np.median(voiced_post) - 200.0) < 6.0

@@ -101,3 +101,53 @@ def test_folder_extraction_end_to_end(tmp_path):
     env, f0i, vmask, forms, sr, ylen = load_features(
         tmp_path / "v0_features.goofy")
     assert sr == SR and ylen == int(0.31 * SR)
+
+
+def _ulp_equal_f32(a, b, maxulp=2):
+    a32 = np.asarray(a, dtype=np.float32)
+    b32 = np.asarray(b, dtype=np.float32)
+    try:
+        np.testing.assert_array_max_ulp(a32, b32, maxulp=maxulp)
+        return True
+    except AssertionError:
+        return False
+
+
+def test_lean_extraction_identical():
+    """dense=False (device-side knot pick + f16/u8 bitcast-packed fetch,
+    VERDICT r2 item 4) yields the dense path's .goofy payload: knots,
+    mask and formants exactly; f0 within 1-2 f32 ulp (the lean graph is
+    a DIFFERENT XLA program, so fusion may reassociate a lerp into an
+    fma — same arithmetic, last-bit rounding)."""
+    y = _tone(0.47, 210, seed=3)
+    env_d, f0_d, m_d, forms_d, kn_d = F.extract_features(y, SR)
+    env_l, f0_l, m_l, forms_l, kn_l = F.extract_features(y, SR,
+                                                         dense=False)
+    assert env_l is None
+    assert _ulp_equal_f32(f0_d, f0_l)
+    # mask is thresholded f0 > f0_min: a 1-ulp wobble can only flip a
+    # sample sitting exactly on the 75 Hz threshold
+    assert np.sum(m_d != m_l) <= 2
+    assert np.abs(kn_d["knot_vals_log"].astype(np.float32)
+                  - kn_l["knot_vals_log"].astype(np.float32)).max() \
+        <= 2e-3  # 1 f16 ulp at the stored magnitudes
+    assert np.array_equal(kn_d["hz_knots"], kn_l["hz_knots"])
+    assert (kn_d["n_bins"], kn_d["n_fft"], kn_d["sr"]) \
+        == (kn_l["n_bins"], kn_l["n_fft"], kn_l["sr"])
+    for k in forms_d:
+        assert _ulp_equal_f32(forms_d[k], forms_l[k])
+
+
+def test_lean_batch_matches_dense_batch():
+    ys = [_tone(0.31 + 0.04 * i, 150 + 40 * i, seed=i) for i in range(5)]
+    rb_d = F.extract_features_batch(ys, SR)
+    rb_l = F.extract_features_batch(ys, SR, dense=False)
+    for d, l in zip(rb_d, rb_l):
+        assert l[0] is None
+        assert _ulp_equal_f32(d[1], l[1])
+        assert np.sum(d[2] != l[2]) <= 2
+        assert np.abs(d[4]["knot_vals_log"].astype(np.float32)
+                      - l[4]["knot_vals_log"].astype(np.float32)).max() \
+            <= 2e-3
+        for k in d[3]:
+            assert _ulp_equal_f32(d[3][k], l[3][k])

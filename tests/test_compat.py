@@ -126,3 +126,37 @@ def test_stretch_feature():
     m = RNG.standard_normal((3, 10)).astype(np.float32)
     assert gf.stretch_feature(m, 0.5).shape == (3, 5)
     np.testing.assert_allclose(gf.stretch_feature(x, 1.0), x)
+
+
+def test_interp1d_matches_ops_extrapolation():
+    """compat.interp1d (host NumPy facade) and ops/interp's device
+    versions restate the same reference arithmetic (GOOFER.py:173-239);
+    pin them together at interior, exact-boundary and outside inputs so
+    they cannot silently diverge (VERDICT r2 weak item 8)."""
+    import numpy as np
+
+    from goofer_tpu.compat import interp1d
+    from goofer_tpu.ops.interp import linear_interp, linear_interp_extrap
+
+    x = np.array([0.0, 1.0, 2.5, 7.0], dtype=np.float64)
+    y = np.array([1.0, -2.0, 0.5, 4.0], dtype=np.float64)
+    # agreement contract holds at f32-REPRESENTABLE inputs: the device
+    # path computes in f32, so an f64 probe infinitesimally past a
+    # boundary (7.0 + 1e-9) classifies inside on device and outside on
+    # host — probe the true f32 neighbors instead
+    # (and XLA flushes f32 denormals, so the below-zero probe must be a
+    # NORMAL float, not nextafter(0, -1))
+    probes = np.array([-3.0, -1e-6, 0.0, 0.5,
+                       1.0, 2.5, 6.999999, 7.0,
+                       np.nextafter(np.float32(7), 8), 12.0],
+                      dtype=np.float32)
+
+    f = interp1d(x, y, fill_value="extrapolate")
+    np.testing.assert_allclose(
+        f(probes), np.asarray(linear_interp_extrap(x, y, probes)),
+        rtol=1e-6, atol=1e-9)
+
+    g = interp1d(x, y, fill_value=-5.0)
+    np.testing.assert_allclose(
+        g(probes), np.asarray(linear_interp(x, y, probes, fill_value=-5.0)),
+        rtol=1e-6, atol=1e-9)
