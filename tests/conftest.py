@@ -22,3 +22,26 @@ if os.environ.get("GOOFER_TPU_TEST_PLATFORM") != "tpu":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # keep the persistent compilation cache OFF for the virtual-CPU
+    # suite: tests drive cli.main()/the server in-process, which enable
+    # the cache dir process-wide, and serializing the large universal
+    # render executables on the forced-host platform aborts the
+    # interpreter (SIGABRT inside compilation_cache.put_executable_
+    # and_time at test_universal).  CPU compiles are fast; nothing is
+    # lost.  The master switch survives cli._setup_compile_cache, which
+    # only sets the cache dir.
+    jax.config.update("jax_enable_compilation_cache", False)
+else:
+    import jax
+
+    # persistent XLA compilation cache (same one the CLI/bench use): the
+    # TPU-backend oracle suite otherwise recompiles every production
+    # graph from scratch each run (~45+ min on the tunnel toolchain).
+    # TPU-only: enabling it for the virtual-CPU suite aborts the
+    # interpreter inside the cache's executable serialization on this
+    # image's forced-host platform (measured: SIGABRT at
+    # compilation_cache.put_executable_and_time during test_universal).
+    _cache_dir = os.path.expanduser("~/.cache/goofer_tpu/xla")
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

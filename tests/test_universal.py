@@ -34,6 +34,27 @@ from goofer_tpu.sampler.resampler import (
 SR = 44100
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compiler_state():
+    """Drop the jit/lowering caches accumulated by the ~180 tests that
+    run before this module.  The all-features-on universal graphs are
+    the largest XLA modules in the suite, and compiling them at the
+    tail of a long-lived virtual-8-CPU process crashes inside
+    XLA:CPU's backend_compile (SIGSEGV, and SIGABRT when the persistent
+    cache then serializes the executable) — the same compiles succeed
+    in a fresh process, and MALLOC_CHECK_=3 sees no heap corruption
+    beforehand, so the trigger is accumulated compiler state, not this
+    repo's code.  Clearing JAX's caches releases the retained
+    executables/LLVM contexts before the big compiles."""
+    import gc
+
+    import jax
+
+    jax.clear_caches()
+    gc.collect()
+    yield
+
+
 @pytest.fixture(scope="module")
 def src_wav():
     import sys
