@@ -21,23 +21,30 @@ import numpy as np
 _HERE = Path(__file__).parent
 _SRC = _HERE / "wavcodec.cpp"
 _SO = _HERE / "_wavcodec.so"
+_SND_SRC = _HERE / "sndcodec.cpp"
+_SND_SO = _HERE / "_sndcodec.so"
 
 _lock = threading.Lock()
 _lib = None
+_snd_lib = None
+
+
+def _build_one(src: Path, so: Path, force: bool) -> Path:
+    if so.exists() and not force \
+            and so.stat().st_mtime >= src.stat().st_mtime:
+        return so
+    tmp = so.with_suffix(".so.tmp")
+    subprocess.run(
+        ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+         str(src), "-o", str(tmp)],
+        check=True, capture_output=True)
+    tmp.replace(so)
+    return so
 
 
 def build(force: bool = False) -> Path:
     """Compile the codec shared library if needed."""
-    if _SO.exists() and not force \
-            and _SO.stat().st_mtime >= _SRC.stat().st_mtime:
-        return _SO
-    tmp = _SO.with_suffix(".so.tmp")
-    subprocess.run(
-        ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-         str(_SRC), "-o", str(tmp)],
-        check=True, capture_output=True)
-    tmp.replace(_SO)
-    return _SO
+    return _build_one(_SRC, _SO, force)
 
 
 def load():
@@ -64,6 +71,71 @@ def load():
         lib.wav_write_pcm16.restype = ctypes.c_int
         _lib = lib
         return _lib
+
+
+def load_snd():
+    """Build (if needed) and load the FLAC/AIFF decoder; raises on failure.
+
+    The reference reads flac/aiff through libsndfile's C engine
+    (ref: SillySampler.py:211-212); sndcodec.cpp is the equivalent
+    dependency-free native component for images without libsndfile."""
+    global _snd_lib
+    with _lock:
+        if _snd_lib is not None:
+            return _snd_lib
+        so = _build_one(_SND_SRC, _SND_SO, False)
+        lib = ctypes.CDLL(str(so))
+        for name in ("flac_read_info", "aiff_read_info"):
+            fn = getattr(lib, name)
+            fn.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_longlong),
+                ctypes.POINTER(ctypes.c_int)]
+            fn.restype = ctypes.c_int
+        for name in ("flac_read_f32", "aiff_read_f32"):
+            fn = getattr(lib, name)
+            fn.argtypes = [
+                ctypes.c_char_p,
+                np.ctypeslib.ndpointer(dtype=np.float32,
+                                       flags="C_CONTIGUOUS"),
+                ctypes.c_longlong]
+            fn.restype = ctypes.c_int
+        _snd_lib = lib
+        return _snd_lib
+
+
+def _read_snd(path, kind: str):
+    lib = load_snd()
+    info_fn = getattr(lib, f"{kind}_read_info")
+    data_fn = getattr(lib, f"{kind}_read_f32")
+    sr = ctypes.c_int()
+    ch = ctypes.c_int()
+    frames = ctypes.c_longlong()
+    bits = ctypes.c_int()
+    rc = info_fn(str(path).encode(), ctypes.byref(sr), ctypes.byref(ch),
+                 ctypes.byref(frames), ctypes.byref(bits))
+    if rc != 0:
+        raise OSError(f"{kind}_read_info({path}) failed: {rc}")
+    n = frames.value * ch.value
+    out = np.empty(n, dtype=np.float32)
+    rc = data_fn(str(path).encode(), out, n)
+    if rc != 0:
+        raise OSError(f"{kind}_read_f32({path}) failed: {rc}")
+    if ch.value > 1:
+        out = out.reshape(frames.value, ch.value)
+    return out, sr.value
+
+
+def read_flac(path):
+    """Decode a FLAC file to float32 [-1, 1); returns (data, sr).
+    Multichannel data comes back as (frames, channels)."""
+    return _read_snd(path, "flac")
+
+
+def read_aiff(path):
+    """Decode an AIFF/AIFC (PCM) file to float32 [-1, 1)."""
+    return _read_snd(path, "aiff")
 
 
 def read_wav(path):

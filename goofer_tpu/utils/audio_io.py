@@ -1,11 +1,12 @@
 """Audio file I/O.
 
 The reference reads/writes audio through libsndfile (soundfile).  This image
-has no libsndfile, so WAV I/O goes through scipy's RIFF codec with
+has no libsndfile, so WAV I/O goes through the native C++ RIFF codec (scipy
+fallback) and flac/aiff decode through the native sndcodec, all with
 float-normalization matching libsndfile conventions (int16 / 32768, output
 PCM_16 like soundfile's default WAV subtype).  If soundfile happens to be
-importable it is preferred, which also enables flac/aiff/mp3 for the batch
-extractor.
+importable it serves as the fallback for anything the native decoders
+reject, and the only path for mp3.
 """
 from __future__ import annotations
 
@@ -39,24 +40,34 @@ def _native_codec():
 
 def read_wav(path) -> tuple[np.ndarray, int]:
     """Read an audio file as float in [-1, 1), mono-downmix NOT applied."""
+    low = str(path).lower()
     nat = _native_codec()
-    if nat is not None and str(path).lower().endswith(".wav"):
+    if nat is not None and low.endswith(".wav"):
         try:
             data, sr = nat.read_wav(path)
             return data.astype(np.float64), int(sr)
         except OSError:
             pass  # unusual subformat: fall through to the Python paths
+    if nat is not None and low.endswith((".flac", ".aiff", ".aif")):
+        # ref reads these via libsndfile (SillySampler.py:211-212); the
+        # native sndcodec decodes them without that dependency
+        try:
+            data, sr = (nat.read_flac(path) if low.endswith(".flac")
+                        else nat.read_aiff(path))
+            return data.astype(np.float64), int(sr)
+        except OSError:
+            pass  # fall through to soundfile if present
     if _sf is not None:
         data, sr = _sf.read(str(path))
         return np.asarray(data), int(sr)
-    if not str(path).lower().endswith(".wav"):
-        # ref reads flac/aiff/mp3 via libsndfile (SillySampler.py:211-212);
-        # without it only WAV decodes here — name the missing dependency
-        # instead of failing in the RIFF parser (VERDICT r2 item 8)
+    if not low.endswith(".wav"):
+        # mp3 (and any flac/aiff the native decoder rejected) needs
+        # libsndfile — name the missing dependency instead of failing in
+        # the RIFF parser (VERDICT r2 item 8)
         raise RuntimeError(
-            f"cannot decode {path}: non-WAV inputs (flac/aiff/mp3) "
-            f"require the optional 'soundfile' (libsndfile) package, "
-            f"which is not importable in this environment")
+            f"cannot decode {path}: this input requires the optional "
+            f"'soundfile' (libsndfile) package, which is not importable "
+            f"in this environment")
     sr, data = _wavfile.read(str(path))
     if data.dtype == np.int16:
         data = data.astype(np.float64) / 32768.0
