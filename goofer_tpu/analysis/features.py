@@ -380,7 +380,8 @@ def extract_features_batch(ys, sr: int, n_fft: int = 1024,
                            hop_length: int = 256, f0_min: float = 75.0,
                            f0_merge_range: int = 2,
                            with_formants: bool = True,
-                           chunk: int = 16, dense: bool = True):
+                           chunk: int = 16, dense: bool = True,
+                           mesh=None):
     """Batched feature extraction: waveforms bucket by padded length and
     each bucket runs as vmapped dispatches of ONE compiled analysis graph
     (chunks padded to a fixed batch), so a voicebank of arbitrary file
@@ -390,7 +391,12 @@ def extract_features_batch(ys, sr: int, n_fft: int = 1024,
     ``ys``: list of 1-D float arrays at a common sample rate.  Returns a
     list of per-file tuples shaped exactly like extract_features.
     ``dense=False``: device-side knot pick, no dense env in the fetch
-    (env comes back None per file; see extract_features)."""
+    (env comes back None per file; see extract_features).
+
+    ``mesh``: a jax.sharding.Mesh shards each chunk's file batch over
+    EVERY mesh axis (per-file analysis is independent — pure data
+    parallelism, no collectives; the multi-chip voicebank-extraction
+    step, SURVEY §2.6).  Batches pad up to a mesh-size multiple."""
     from goofer_tpu.analysis.formants import formant_frame_grid
     from goofer_tpu.analysis.pitch import (
         PitchConfig,
@@ -422,6 +428,8 @@ def extract_features_batch(ys, sr: int, n_fft: int = 1024,
         for c0 in range(0, len(group), chunk):
             part = group[c0:c0 + chunk]
             b_pad = config.bucket_batch(min(chunk, len(part)))
+            if mesh is not None and b_pad % mesh.size != 0:
+                b_pad = -(-b_pad // mesh.size) * mesh.size
             rows = part + [part[-1]] * (b_pad - len(part))
 
             yb = np.zeros((b_pad, n_pad), dtype=np.float32)
@@ -444,8 +452,22 @@ def extract_features_batch(ys, sr: int, n_fft: int = 1024,
                 f_starts[j, :fnf] = fstarts
                 f_starts[j, fnf:] = fstarts[-1]
 
-            flat_b = np.asarray(graph(
-                yb, n_true, p_starts, p_nf, f_starts))  # ONE fetch/chunk
+            if mesh is None:
+                flat_b = np.asarray(graph(
+                    yb, n_true, p_starts, p_nf, f_starts))  # ONE fetch/chunk
+            else:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                def put(x):
+                    spec = P(mesh.axis_names, *((None,) * (x.ndim - 1)))
+                    return jax.device_put(jnp.asarray(x),
+                                          NamedSharding(mesh, spec))
+
+                with mesh:
+                    flat_b = np.asarray(graph(
+                        put(yb), put(n_true), put(p_starts), put(p_nf),
+                        put(f_starts)))
             unpack = _unpack_mixed if not dense else _unpack
             rows_np = [unpack(row, shapes, splits) for row in flat_b]
 

@@ -53,12 +53,13 @@ def _feat_path(audio_file: Path) -> Path:
 
 
 def extract_features_recursive(input_path, n_fft: int = 1024,
-                               hop: int = 256) -> int:
+                               hop: int = 256, mesh=None) -> int:
     """Recursively extract features for every audio file under a path.
 
     Decode and save run on a thread pool (the reference's only real
     parallelism, ref: SillySampler.py:235-238); analysis runs as
-    length-bucketed vmapped device dispatches."""
+    length-bucketed vmapped device dispatches — sharded over ``mesh``
+    when one is given (multi-chip voicebank extraction)."""
     from goofer_tpu.analysis.features import extract_features_batch
     from goofer_tpu.io.goofy import save_features
 
@@ -102,7 +103,7 @@ def extract_features_recursive(input_path, n_fft: int = 1024,
             try:
                 results = extract_features_batch(ys, sr, n_fft=n_fft,
                                                  hop_length=hop,
-                                                 dense=False)
+                                                 dense=False, mesh=mesh)
             except Exception:
                 log.exception("[ERROR] Batched extraction failed for "
                               "sr=%d group; falling back per-file", sr)

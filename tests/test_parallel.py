@@ -176,3 +176,42 @@ def test_render_phrase_on_mesh_matches_single():
         a, b = np.asarray(a), np.asarray(b)
         assert a.shape == b.shape
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+
+
+def test_extraction_sharded_matches_single():
+    """extract_features_batch(mesh=...) shards the file batch over every
+    mesh axis (pure data parallelism — per-file analysis is independent)
+    and returns the same features as the single-device path."""
+    import numpy as np
+
+    from goofer_tpu.analysis.features import extract_features_batch
+    from goofer_tpu.parallel import make_mesh
+
+    sr = 44100
+    rng = np.random.default_rng(3)
+    ys = []
+    for i, (f0, dur) in enumerate(
+            [(200, 0.35), (240, 0.35), (280, 0.52), (180, 0.52), (320, 0.35)]):
+        n = int(dur * sr)
+        t = np.arange(n) / sr
+        y = (0.4 * np.sin(2 * np.pi * f0 * t)
+             + 0.12 * np.sin(2 * np.pi * 2 * f0 * t)
+             + 0.01 * rng.standard_normal(n))
+        ys.append(y.astype(np.float32))
+
+    single = extract_features_batch(ys, sr, dense=False)
+    mesh = make_mesh(8, tp=2)
+    sharded = extract_features_batch(ys, sr, dense=False, mesh=mesh)
+    assert len(sharded) == len(single) == len(ys)
+    for (e_s, f0_s, m_s, forms_s, k_s), (e_r, f0_r, m_r, forms_r, k_r) in zip(
+            sharded, single):
+        assert e_s is None and e_r is None
+        np.testing.assert_allclose(f0_s, f0_r, rtol=1e-4, atol=1e-3)
+        np.testing.assert_array_equal(m_s, m_r)
+        for k in forms_r:
+            np.testing.assert_allclose(forms_s[k], forms_r[k],
+                                       rtol=1e-4, atol=1e-2)
+        np.testing.assert_allclose(
+            k_s["knot_vals_log"].astype(np.float32),
+            k_r["knot_vals_log"].astype(np.float32), atol=2e-2)
+        assert k_s["knot_vals_log"].shape == k_r["knot_vals_log"].shape

@@ -69,9 +69,23 @@ def main():
 
     timed("env_shape es=0.3 (x80)",
           lambda e: jax.vmap(lambda x: env_shape(x, 0.3))(e), env)
-    timed("fw warp (x80, gather)",
+    timed("fw warp (x80, column gather)",
           lambda e: jax.vmap(lambda x: _fw_warp(x, jnp.float32(0.2)))(e),
           env)
+
+    def fw_warp_rows(x, amount):
+        # positions depend only on the bin -> shared row gather
+        # (the shift_formants_global formulation)
+        nb = x.shape[0]
+        bins = jnp.arange(nb, dtype=jnp.float32)
+        center = nb / 2.0
+        pos = jnp.clip((bins - center) * (1.0 + amount) + center,
+                       0.0, nb - 1.0)
+        return gather_lerp(x, pos, axis=0)
+
+    timed("fw warp (x80, shared row gather)",
+          lambda e: jax.vmap(
+              lambda x: fw_warp_rows(x, jnp.float32(0.2)))(e), env)
     timed("tilt (x80)",
           lambda e: jax.vmap(lambda x: _tilt(x, jnp.float32(1.4), SR))(e),
           env)
