@@ -62,8 +62,37 @@ def _make_voicebank_sample(path, sr=44100, dur=0.6):
     write_wav(path, y.astype(np.float32), sr)
 
 
+def _device_watchdog(timeout_s: float = 600.0) -> None:
+    """Fail loudly if the device backend cannot initialize.
+
+    The TPU sits behind the axon tunnel; when the tunnel's remote end is
+    down, the first backend touch blocks FOREVER (observed 2026-08-18),
+    which would leave a driver bench window with no output at all.  Probe
+    jax.devices() on a daemon thread and abort with a diagnostic if it
+    does not come up within ``timeout_s``."""
+    import threading
+
+    done = threading.Event()
+    info: list = []
+
+    def probe():
+        import jax
+
+        info.append(jax.devices())
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s):
+        _log(f"FATAL: device backend did not initialize within "
+             f"{timeout_s:.0f}s — the axon tunnel is unreachable; "
+             f"no benchmark is possible on this host right now")
+        os._exit(3)
+    _log(f"devices: {info[0]}")
+
+
 def main():
     _setup_cache()
+    _device_watchdog()
     _log("importing jax + goofer_tpu")
 
     from goofer_tpu.sampler.phrase import NoteSpec, plan_phrase, \
