@@ -222,6 +222,33 @@ def test_play_renders_visible_span_preview(tkpatch, monkeypatch):
     assert len(played[0][0]) == n
 
 
+def test_cli_goofy_editor_mode(tkpatch, tmp_path):
+    """`goofer-cli a.goofy b.goofy` enters the voicing-editor batch mode
+    (ref: SillySampler.py:1226-1240 mode selection; SillyEditor
+    standalone surface) — through the real CLI dispatcher."""
+    from goofer_tpu import cli
+    from goofer_tpu.io.goofy import load_features, save_features
+
+    n, tframes = 4000, 16
+    p = tmp_path / "n_features.goofy"
+    env = np.ones((513, tframes), np.float32)
+    save_features(p, env, np.full(n, 150.0, np.float32),
+                  np.ones(n, np.float32), {}, SR, n)
+
+    def scenario(win):
+        canvas = fake_tk.find_all(win, fake_tk.Canvas)[0]
+        canvas.fire("<Button-3>", x=0)
+        canvas.fire("<B3-Motion>", x=800)     # paint ALL unvoiced
+        canvas.fire("<ButtonRelease-3>")
+        fake_tk.find_button(win, "Apply").invoke()
+
+    fake_tk.push_scenario(scenario)
+    rc = cli.main([str(p)])
+    assert rc == 0
+    _, f0r, maskr, _, _, _ = load_features(p)
+    assert (maskr == 0.0).all() and (f0r == 0.0).all()
+
+
 def test_edit_goofy_files_writeback_and_cancel(tkpatch, tmp_path):
     """The standalone .goofy batch editor round-trip: paint unvoiced via
     the real handlers, Apply -> the file's mask/f0 reflect the edit;
