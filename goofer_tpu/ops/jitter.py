@@ -16,9 +16,31 @@ from goofer_tpu.ops.scan_iir import one_pole_highpass
 
 def smoothed_unit_noise(key, length: int, sigma: float) -> jnp.ndarray:
     """Gaussian noise blurred then peak-normalized, the common core of the
-    jitter generators (ref: GOOFER.py:653-655, 666-668)."""
-    noise = jax.random.normal(key, (length,), dtype=jnp.float32)
-    noise = gaussian_blur1d(noise, sigma)
+    jitter generators (ref: GOOFER.py:653-655, 666-668).
+
+    For large sigma the process is generated on a ds-decimated grid
+    (white noise + sigma/ds blur) and linearly upsampled: the blur's
+    bandwidth (~0.6/sigma cycles/sample) sits far below the coarse
+    Nyquist (0.5/ds at sigma/ds >= 8), so the normalized spectrum is
+    unchanged to measurement accuracy (pinned in tests/test_ops.py)
+    while the full-rate PRNG + O(n log n) blur shrink by ds.  Parity
+    with the reference is spectral by design (module docstring), and
+    the upsample is a dense reshape/broadcast — positions form a
+    uniform ramp — not a per-element gather (the TPU "gather trap",
+    docs/PERFORMANCE.md)."""
+    ds = 1
+    while sigma / (2 * ds) >= 8.0 and ds < 64:
+        ds *= 2
+    if ds == 1:
+        noise = jax.random.normal(key, (length,), dtype=jnp.float32)
+        noise = gaussian_blur1d(noise, sigma)
+        return noise / jnp.max(jnp.abs(noise) + 1e-6)
+    m = length // ds + 2
+    c = jax.random.normal(key, (m,), dtype=jnp.float32)
+    c = gaussian_blur1d(c, sigma / ds)
+    frac = jnp.arange(ds, dtype=jnp.float32) / ds               # (ds,)
+    seg = c[:-1, None] * (1.0 - frac) + c[1:, None] * frac      # (m-1, ds)
+    noise = seg.reshape(-1)[:length]
     return noise / jnp.max(jnp.abs(noise) + 1e-6)
 
 

@@ -268,3 +268,74 @@ def test_subharm_dense_track_needs_small_spacing():
     from goofer_tpu import config as cfg
 
     assert cfg.bucket_min_spacing(int(sr / (880.0 * 4.0))) == 8
+
+
+def test_smoothed_unit_noise_downsampled_spectrum():
+    """The decimated-grid jitter formulation must be spectrally
+    equivalent to the full-rate reference process (the parity contract
+    for unseeded noise is spectral, ops/jitter.py docstring).
+
+    Empirical band-energy comparison is underpowered here — with any
+    affordable rep count the two grids' periodogram band energies differ
+    by +-5% of pure chi^2 noise (verified against edge-free analytic
+    blurs).  So the equivalence is pinned DETERMINISTICALLY:
+
+    1. implementation: the jax pipeline equals a NumPy restatement of
+       the intended process (coarse draw -> sigma/ds Gaussian, reflect
+       pad -> uniform-ramp lerp -> peak norm) on the same PRNG draw;
+    2. analytics: the coarse kernel's DFT at matched physical
+       frequencies equals the full-rate kernel's wherever the process
+       has any energy, and the lerp response is unit over that support —
+       i.e. the two processes have the SAME power spectrum by
+       construction, white noise in, |H|^2 out;
+    3. unit peak.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from goofer_tpu.ops.filters import gaussian_kernel1d
+    from goofer_tpu.ops.jitter import smoothed_unit_noise
+
+    n = 33075
+    for sigma, ds in ((49.0, 4), (73.5, 8), (183.75, 16)):
+        # -- 1. implementation vs NumPy restatement (same draw) --------
+        key = jax.random.PRNGKey(int(sigma))
+        out = np.asarray(smoothed_unit_noise(key, n, sigma))
+        m = n // ds + 2
+        c = np.asarray(jax.random.normal(key, (m,), jnp.float32),
+                       dtype=np.float64)
+        k = gaussian_kernel1d(sigma / ds).astype(np.float64)
+        r = (len(k) - 1) // 2
+        cpad = np.pad(c, r, mode="reflect")
+        cs = np.convolve(cpad, k, mode="valid")
+        pos = np.arange(n) / ds
+        lo_i = np.floor(pos).astype(int)
+        ref = cs[lo_i] * (1 - (pos - lo_i)) + cs[lo_i + 1] * (pos - lo_i)
+        ref = ref / np.max(np.abs(ref) + 1e-6)
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+        assert abs(np.abs(out).max() - 1.0) < 1e-4
+
+        # -- 2. analytic spectral equivalence ---------------------------
+        kf = gaussian_kernel1d(sigma).astype(np.float64)
+        tf = np.arange(-(len(kf) // 2), len(kf) // 2 + 1)
+        tc = np.arange(-(len(k) // 2), len(k) // 2 + 1)
+        for bin_ in (1, 4, 16, 32, 64, 96):
+            f = bin_ / n
+            h_full = abs(np.sum(kf * np.exp(-2j * np.pi * f * tf)))
+            h_coarse = abs(np.sum(k * np.exp(-2j * np.pi * f * ds * tc)))
+            if h_full < 1e-2:      # below -40 dB nothing is audible
+                continue
+            assert abs(h_coarse - h_full) < 1e-3 * max(h_full, 0.1), \
+                (sigma, bin_, h_full, h_coarse)
+            # triangular (lerp) response at this frequency ~ unity
+            t_lerp = (np.sin(np.pi * f * ds)
+                      / (ds * np.sin(np.pi * f))) ** 2
+            assert t_lerp > 0.995, (sigma, bin_, t_lerp)
+        # above the blur cutoff the process is silent: the upsample
+        # images must not add energy there (single-realization check,
+        # generous floor)
+        psd = np.abs(np.fft.rfft(out)) ** 2
+        psd /= psd.sum()
+        cutoff_bin = max(1, int(4 * 0.6 / sigma * n))
+        assert psd[cutoff_bin:].sum() < 5e-3, sigma

@@ -50,21 +50,22 @@ def main():
 
     timed("rtt floor (1-elem fetch)", lambda k: k * 2.0, jnp.float32(3))
 
-    timed("smoothed_unit_noise x3 (sh/sr jitters)",
-          lambda ks: jax.vmap(lambda k: sum(
-              smoothed_unit_noise(jax.random.fold_in(k, i), N, 183.75)
-              for i in range(3)))(ks), keys)
+    from goofer_tpu.ops.filters import gaussian_blur1d
 
-    def noise_ds(k, length, sigma, ds):
-        m = length // ds + 2
-        c = smoothed_unit_noise(k, m, sigma / ds)
-        pos = jnp.arange(length, dtype=jnp.float32) / ds
-        return gather_lerp(c, pos, axis=0)
+    def full_rate_noise(k, length, sigma):
+        # the pre-downsampling formulation (ops/jitter.py history)
+        x = jax.random.normal(k, (length,), dtype=jnp.float32)
+        x = gaussian_blur1d(x, sigma)
+        return x / jnp.max(jnp.abs(x) + 1e-6)
 
-    for ds in (8, 16, 32):
-        timed(f"downsampled x3 jitters (ds={ds})",
-              lambda ks, d=ds: jax.vmap(lambda k: sum(
-                  noise_ds(jax.random.fold_in(k, i), N, 183.75, d)
+    for sigma in (49.0, 183.75):
+        timed(f"full-rate x3 jitters (sigma={sigma})",
+              lambda ks, s=sigma: jax.vmap(lambda k: sum(
+                  full_rate_noise(jax.random.fold_in(k, i), N, s)
+                  for i in range(3)))(ks), keys)
+        timed(f"production x3 jitters (auto-ds, sigma={sigma})",
+              lambda ks, s=sigma: jax.vmap(lambda k: sum(
+                  smoothed_unit_noise(jax.random.fold_in(k, i), N, s)
                   for i in range(3)))(ks), keys)
 
     timed("env_shape es=0.3 (x80)",
