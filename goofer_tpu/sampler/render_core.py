@@ -34,7 +34,6 @@ from goofer_tpu.ops.envelope import (
     env_shape,
     env_shape_traced,
     fry_env_shift,
-    gather_lerp_columns,
 )
 from goofer_tpu.ops.filters import gaussian_blur1d
 from goofer_tpu.ops.interp import gather_lerp
@@ -194,14 +193,18 @@ def _tilt(env, brightness_env, sr):
 
 
 def _fw_warp(env, amount):
-    """Traced-amount formant width warp (ref: SillySampler.py:554-574)."""
+    """Traced-amount formant width warp (ref: SillySampler.py:554-574).
+
+    The warp positions depend only on the bin, never the frame, so this
+    is a SHARED row gather (the shift_formants_global formulation) —
+    not a per-(bin, frame) column gather (the TPU "gather trap",
+    docs/PERFORMANCE.md); both clamp identically (tests/test_ops.py)."""
     n_bins = env.shape[0]
     bins = jnp.arange(n_bins, dtype=jnp.float32)
     center = n_bins / 2.0
     pos = jnp.clip((bins - center) * (1.0 + amount) + center,
                    0.0, n_bins - 1.0)
-    return gather_lerp_columns(env, jnp.broadcast_to(
-        pos[:, None], env.shape))
+    return gather_lerp(env, pos, axis=0)
 
 
 def _apply_plan(src, pos0, pos1, w, axis=-1):

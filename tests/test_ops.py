@@ -339,3 +339,28 @@ def test_smoothed_unit_noise_downsampled_spectrum():
         psd /= psd.sum()
         cutoff_bin = max(1, int(4 * 0.6 / sigma * n))
         assert psd[cutoff_bin:].sum() < 5e-3, sigma
+
+
+def test_fw_warp_row_gather_matches_column_gather():
+    """_fw_warp's shared-row-gather formulation equals the general
+    per-(bin, frame) column gather exactly — the positions are
+    frame-independent by construction."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from goofer_tpu.ops.envelope import gather_lerp_columns
+    from goofer_tpu.sampler.render_core import _fw_warp
+
+    rng = np.random.default_rng(5)
+    env = jnp.asarray(rng.random((513, 67)).astype(np.float32))
+    for amount in (-0.6, -0.2, 0.0, 0.2, 0.77):
+        amount = jnp.float32(amount)   # traced-scalar dtype, as production
+        n_bins = env.shape[0]
+        bins = jnp.arange(n_bins, dtype=jnp.float32)
+        center = n_bins / 2.0
+        pos = jnp.clip((bins - center) * (1.0 + amount) + center,
+                       0.0, n_bins - 1.0)
+        ref = gather_lerp_columns(env, jnp.broadcast_to(
+            pos[:, None], env.shape))
+        out = _fw_warp(env, jnp.float32(amount))
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
