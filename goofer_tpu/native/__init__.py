@@ -118,6 +118,11 @@ def _read_snd(path, kind: str):
     if rc != 0:
         raise OSError(f"{kind}_read_info({path}) failed: {rc}")
     n = frames.value * ch.value
+    if not 0 <= n < (1 << 31):
+        # corrupt header (e.g. a flipped STREAMINFO byte) must not drive
+        # an absurd host allocation
+        raise OSError(f"{kind}_read_info({path}): implausible sample "
+                      f"count {n}")
     out = np.empty(n, dtype=np.float32)
     rc = data_fn(str(path).encode(), out, n)
     if rc != 0:
