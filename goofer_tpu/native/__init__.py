@@ -100,7 +100,8 @@ def load_snd():
                 np.ctypeslib.ndpointer(dtype=np.float32,
                                        flags="C_CONTIGUOUS"),
                 ctypes.c_longlong]
-            fn.restype = ctypes.c_int
+            # number of float values written (>= 0) or a negative error
+            fn.restype = ctypes.c_longlong
         _snd_lib = lib
         return _snd_lib
 
@@ -123,12 +124,16 @@ def _read_snd(path, kind: str):
         # an absurd host allocation
         raise OSError(f"{kind}_read_info({path}): implausible sample "
                       f"count {n}")
-    out = np.empty(n, dtype=np.float32)
-    rc = data_fn(str(path).encode(), out, n)
-    if rc != 0:
-        raise OSError(f"{kind}_read_f32({path}) failed: {rc}")
+    out = np.zeros(n, dtype=np.float32)   # never expose heap garbage
+    written = data_fn(str(path).encode(), out, n)
+    if written < 0:
+        raise OSError(f"{kind}_read_f32({path}) failed: {written}")
+    if written < n:
+        # e.g. a stream truncated at a frame boundary: STREAMINFO
+        # promised more samples than the frames actually carry
+        out = out[: written - written % ch.value]
     if ch.value > 1:
-        out = out.reshape(frames.value, ch.value)
+        out = out.reshape(-1, ch.value)
     return out, sr.value
 
 

@@ -276,9 +276,13 @@ bool flac_skip_utf8(BitReader* br) {
 }
 
 // Decode every frame, appending interleaved samples.  max_values bounds
-// the output (extra decoded samples are dropped).
+// the output (extra decoded samples are dropped).  *values_written
+// reports how many floats were produced — a truncated stream can end
+// cleanly at a frame boundary with fewer samples than STREAMINFO
+// promised, and the caller must not treat the unwritten tail as audio.
 int flac_decode(const std::vector<uint8_t>& buf, const FlacInfo& info,
-                float* out, long long max_values) {
+                float* out, long long max_values,
+                long long* values_written) {
   BitReader br{buf.data(), buf.size()};
   br.bitpos = info.first_frame_byte * 8;
   long long written = 0;
@@ -364,6 +368,7 @@ int flac_decode(const std::vector<uint8_t>& buf, const FlacInfo& info,
       for (int c = 0; c < nch && written < max_values; ++c)
         out[written++] = (float)ch_data[c][i] * scale;
   }
+  *values_written = written;
   return written > 0 || max_values == 0 ? 0 : -7;
 }
 
@@ -426,7 +431,12 @@ bool aiff_parse(const std::vector<uint8_t>& buf, AiffInfo* info) {
     }
     off = body + ((len + 1) & ~1u);
   }
-  return have_comm && have_ssnd && info->channels > 0 && info->bits > 0 &&
+  // Only whole-byte PCM depths are supported (8/16/24/32); rejecting
+  // here keeps read_info free of the bits/8 == 0 division (a SIGFPE
+  // would kill the host process, not raise).
+  bool bits_ok = info->bits == 8 || info->bits == 16 || info->bits == 24 ||
+                 info->bits == 32;
+  return have_comm && have_ssnd && info->channels > 0 && bits_ok &&
          info->sample_rate > 0;
 }
 
@@ -448,12 +458,17 @@ int flac_read_info(const char* path, int* sample_rate, int* channels,
   return 0;
 }
 
-int flac_read_f32(const char* path, float* out, long long max_values) {
+// Returns the number of float values written (>= 0), or a negative
+// error code.  May be less than max_values for a truncated stream.
+long long flac_read_f32(const char* path, float* out,
+                        long long max_values) {
   std::vector<uint8_t> buf;
   if (!read_file(path, &buf)) return -1;
   FlacInfo info;
   if (!flac_parse_header(buf, &info)) return -2;
-  return flac_decode(buf, info, out, max_values);
+  long long written = 0;
+  int rc = flac_decode(buf, info, out, max_values, &written);
+  return rc == 0 ? written : (long long)rc;
 }
 
 int aiff_read_info(const char* path, int* sample_rate, int* channels,
@@ -472,7 +487,10 @@ int aiff_read_info(const char* path, int* sample_rate, int* channels,
   return 0;
 }
 
-int aiff_read_f32(const char* path, float* out, long long max_values) {
+// Returns the number of float values written (>= 0), or a negative
+// error code (symmetric with flac_read_f32).
+long long aiff_read_f32(const char* path, float* out,
+                        long long max_values) {
   std::vector<uint8_t> buf;
   if (!read_file(path, &buf)) return -1;
   AiffInfo info;
@@ -496,7 +514,7 @@ int aiff_read_f32(const char* path, float* out, long long max_values) {
     v = (int32_t)((uint32_t)v << shift) >> shift;
     out[i] = (float)((double)v / (double)(1u << (8 * bytes_per - 1)));
   }
-  return 0;
+  return values;
 }
 
 }  // extern "C"

@@ -50,12 +50,15 @@ def read_wav(path) -> tuple[np.ndarray, int]:
             pass  # unusual subformat: fall through to the Python paths
     if nat is not None and low.endswith((".flac", ".aiff", ".aif")):
         # ref reads these via libsndfile (SillySampler.py:211-212); the
-        # native sndcodec decodes them without that dependency
+        # native sndcodec decodes them without that dependency.  ANY
+        # native failure — decode error (OSError) or the lazy g++ build
+        # of sndcodec.cpp failing (CalledProcessError etc.) — must fall
+        # through to soundfile / the curated error, never propagate raw
         try:
             data, sr = (nat.read_flac(path) if low.endswith(".flac")
                         else nat.read_aiff(path))
             return data.astype(np.float64), int(sr)
-        except OSError:
+        except Exception:
             pass  # fall through to soundfile if present
     if _sf is not None:
         data, sr = _sf.read(str(path))

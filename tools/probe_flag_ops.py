@@ -21,7 +21,6 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from goofer_tpu.ops.envelope import env_shape  # noqa: E402
 from goofer_tpu.ops.jitter import smoothed_unit_noise  # noqa: E402
-from goofer_tpu.ops.interp import gather_lerp  # noqa: E402
 from goofer_tpu.sampler.render_core import _fw_warp, _tilt  # noqa: E402
 
 B, N = 80, 33075
@@ -70,23 +69,26 @@ def main():
 
     timed("env_shape es=0.3 (x80)",
           lambda e: jax.vmap(lambda x: env_shape(x, 0.3))(e), env)
-    timed("fw warp (x80, column gather)",
-          lambda e: jax.vmap(lambda x: _fw_warp(x, jnp.float32(0.2)))(e),
-          env)
 
-    def fw_warp_rows(x, amount):
-        # positions depend only on the bin -> shared row gather
-        # (the shift_formants_global formulation)
+    def fw_warp_columns(x, amount):
+        # the PRE-round-3 formulation (render_core history): general
+        # per-(bin, frame) column gather on broadcast positions
+        from goofer_tpu.ops.envelope import gather_lerp_columns
+
         nb = x.shape[0]
         bins = jnp.arange(nb, dtype=jnp.float32)
         center = nb / 2.0
         pos = jnp.clip((bins - center) * (1.0 + amount) + center,
                        0.0, nb - 1.0)
-        return gather_lerp(x, pos, axis=0)
+        return gather_lerp_columns(x, jnp.broadcast_to(pos[:, None],
+                                                       x.shape))
 
-    timed("fw warp (x80, shared row gather)",
+    timed("fw warp (x80, column gather, OLD)",
           lambda e: jax.vmap(
-              lambda x: fw_warp_rows(x, jnp.float32(0.2)))(e), env)
+              lambda x: fw_warp_columns(x, jnp.float32(0.2)))(e), env)
+    timed("fw warp (x80, shared row gather, PROD)",
+          lambda e: jax.vmap(lambda x: _fw_warp(x, jnp.float32(0.2)))(e),
+          env)
     timed("tilt (x80)",
           lambda e: jax.vmap(lambda x: _tilt(x, jnp.float32(1.4), SR))(e),
           env)
