@@ -151,3 +151,24 @@ def test_lean_batch_matches_dense_batch():
             <= 2e-3
         for k in d[3]:
             assert _ulp_equal_f32(d[3][k], l[3][k])
+
+
+def test_extraction_non_standard_sample_rates():
+    """Every analysis graph is parameterized by sr (frame grids, knot
+    frequencies, f0 search bounds scale with it); 22.05k and 48k inputs
+    must track the same tone the 44.1k path does."""
+    import numpy as np
+
+    from goofer_tpu.analysis.features import extract_features_batch
+
+    for sr in (22050, 48000):
+        n = int(0.4 * sr)
+        t = np.arange(n) / sr
+        y = (0.4 * np.sin(2 * np.pi * 220.0 * t)
+             + 0.1 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+        (res,) = extract_features_batch([y], sr, dense=False)
+        _env, f0, mask, forms, knots = res
+        voiced = f0[np.asarray(mask) > 0]
+        assert len(voiced) > n // 2, sr
+        assert abs(float(np.median(voiced)) - 220.0) < 10.0, sr
+        assert knots["sr"] == sr
