@@ -86,6 +86,18 @@ def _device_watchdog(timeout_s: float = 600.0) -> None:
         _log(f"FATAL: device backend did not initialize within "
              f"{timeout_s:.0f}s — the axon tunnel is unreachable; "
              f"no benchmark is possible on this host right now")
+        # leave the evidence in the bench artifact itself, not only on
+        # stderr: a driver window during a tunnel outage should record
+        # WHY there is no number (outage observed 2026-08-18, 8+ hours)
+        print(json.dumps({
+            "metric": "realtime_factor_60s_phrase_full_pipeline",
+            "value": 0,
+            "unit": "x_realtime",
+            "vs_baseline": 0,
+            "error": f"axon tunnel unreachable: device backend did not "
+                     f"initialize within {timeout_s:.0f}s; see prior "
+                     f"rounds' numbers (BENCH_r02: 315x)",
+        }), flush=True)
         os._exit(3)
     _log(f"devices: {info[0]}")
 
