@@ -238,11 +238,20 @@ def _background_warmup():
         # graph while its specialized graph compiles in the background
         # (resampler.render_note_auto; VERDICT r2 item 2).  With the
         # persistent XLA cache this deserializes instead of compiling.
-        from goofer_tpu.sampler.resampler import warm_universal
+        from goofer_tpu.sampler.resampler import (
+            WARM_SAMPLE_RATES,
+            warm_universal,
+        )
 
-        n = warm_universal(sr=sr)
-        print(f"Universal fallback graphs ready ({n} compiled).",
-              flush=True)
+        # full ladder (VERDICT r3 item 1): note lengths 0.75-8 s at the
+        # common voicebank rates, 44.1 kHz first so the most likely
+        # requests are covered earliest; other rates warm lazily on
+        # first cover miss (resampler._warm_ladder_background)
+        n = 0
+        for rate in WARM_SAMPLE_RATES:
+            n += warm_universal(sr=rate)
+            print(f"Universal fallback graphs ready for {rate} Hz "
+                  f"({n} compiled total).", flush=True)
     except Exception:
         print(f"Warmup render failed (first request will compile):\n"
               f"{_tb.format_exc()}", flush=True)
