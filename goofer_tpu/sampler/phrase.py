@@ -15,7 +15,9 @@ OpenUtau-driven interactive use.
 """
 from __future__ import annotations
 
+import os
 import threading
+from collections import OrderedDict
 from dataclasses import dataclass, replace
 from functools import partial
 from pathlib import Path
@@ -66,7 +68,14 @@ class _Planned:
 # a concurrent clear can never yank an entry mid-use (SURVEY §5 race
 # bar; tests/test_server.py::test_concurrent_posts).
 _cache_lock = threading.Lock()
-_batched_core_cache: dict = {}
+# LRU of vmapped-graph jit wrappers (VERDICT r3 item 7: a long OpenUtau
+# session accumulates flag-combo x geometry x batch-size signatures
+# without bound, and each wrapper pins its compiled executables).
+# OrderedDict insertion order IS recency (hits re-insert); evicting the
+# oldest wrapper drops the only strong reference to its executables.
+PHRASE_GRAPH_BUDGET = int(
+    os.environ.get("GOOFER_TPU_PHRASE_GRAPH_BUDGET", "64"))
+_batched_core_cache: "OrderedDict" = OrderedDict()
 _plan_memo: dict = {}
 
 
@@ -78,6 +87,8 @@ def _batched_core(rs, axes: tuple, pcm16: bool = False):
     key = (rs, axes, pcm16)
     with _cache_lock:
         fn = _batched_core_cache.get(key)
+        if fn is not None:
+            _batched_core_cache.move_to_end(key)
     if fn is None:
         core = partial(render_note_core, rs)
         if pcm16:
@@ -93,6 +104,9 @@ def _batched_core(rs, axes: tuple, pcm16: bool = False):
         fn = jax.jit(jax.vmap(core, in_axes=axes + (0, 0)))
         with _cache_lock:
             fn = _batched_core_cache.setdefault(key, fn)
+            _batched_core_cache.move_to_end(key)
+            while len(_batched_core_cache) > PHRASE_GRAPH_BUDGET:
+                _batched_core_cache.popitem(last=False)
     return fn
 
 
@@ -224,7 +238,7 @@ def plan_phrase(notes, n_fft: int = config.SAMPLER_N_FFT,
 def render_phrase(notes, n_fft: int = config.SAMPLER_N_FFT,
                   hop: int = config.SAMPLER_HOP, seed: int = 0,
                   pcm16: bool = False, bucket: bool | str = "auto",
-                  mesh=None):
+                  mesh=None, fetch: bool = True):
     """Render a list of NoteSpec; returns list of waveforms in the input
     order.  Notes sharing a graph signature render as one vmapped
     dispatch; all dispatches are issued asynchronously before any result
@@ -240,7 +254,11 @@ def render_phrase(notes, n_fft: int = config.SAMPLER_N_FFT,
     the same compiled graphs over ICI with no collectives (SURVEY §2.6).
 
     ``pcm16=True`` quantizes to int16 PCM on device — the actual payload
-    of the output WAVs — halving device->host transfer."""
+    of the output WAVs — halving device->host transfer.
+
+    ``fetch=False`` is a benchmarking hook: block until every group's
+    device result is ready but skip the device->host copy and return
+    None — isolating compute+dispatch from tunnel/transfer time."""
     planned, _ = plan_phrase(notes, n_fft, hop, bucket=bucket)
     groups = group_planned(planned)
 
@@ -337,6 +355,9 @@ def render_phrase(notes, n_fft: int = config.SAMPLER_N_FFT,
     else:
         pending = [dispatch(items[0][0][0], items[0][1])]
 
+    if not fetch:
+        jax.block_until_ready([r for _, r in pending])
+        return None
     for members, result in pending:
         result = np.asarray(result)          # blocks on this group only
         for j, m in enumerate(members):

@@ -575,6 +575,16 @@ def render_note_core(rs: RenderStatic,
 _render_note_jit = partial(jax.jit, static_argnums=(0,))(render_note_core)
 
 
+def clear_compiled_render_graphs() -> None:
+    """Drop every compiled single-note executable (specialized AND
+    universal) pinned by the shared jit wrapper.  Used by the server's
+    graph-budget sweep (resampler._sweep_graph_budget): jax keeps one
+    executable per (static, shapes) signature with no eviction of its
+    own, so a long session's working set is bounded by periodically
+    clearing and re-warming the universal ladder."""
+    _render_note_jit.clear_cache()
+
+
 # ---------------------------------------------------------------------------
 # Universal fallback graph (VERDICT r2 item 2: bounded time-to-first-note).
 # One compiled graph per geometry bucket renders ANY flag combination;
