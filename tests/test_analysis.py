@@ -354,3 +354,138 @@ def test_pitch_breathy_onset_timing():
     assert np.mean(post > 0) > 0.7, np.mean(post > 0)
     voiced_post = post[post > 0]
     assert abs(np.median(voiced_post) - 200.0) < 6.0
+
+# ------------------------------------------------- adversarial voices
+# (VERDICT r3 item 5: harden analysis parity without Praat — the budget
+# for each case was calibrated empirically, not aspirationally; the
+# reference's tracker params are GOOFER.py:341-353 / 768-792.)
+
+
+def _pulse_train_sig(periods_samples, n, alt=None, sr=SR):
+    """Lowpassed glottal-ish impulse train with per-pulse periods (and
+    optional alternating amplitude)."""
+    y = np.zeros(n, dtype=np.float32)
+    pos = 0.0
+    i = 0
+    for T in periods_samples:
+        if pos >= n - 600:
+            break
+        y[int(pos)] = 1.0 if alt is None or i % 2 == 0 else alt
+        pos += T
+        i += 1
+    k = np.hanning(64).astype(np.float32)
+    return (np.convolve(y, k, mode="same") * 0.4).astype(np.float32)
+
+
+def test_pitch_just_above_floor():
+    """78 Hz — 0.7 semitones above the 75 Hz tracker floor: fully
+    voiced, no flooring artifacts, no octave errors."""
+    y = _sawtooth(78.0, 0.7)
+    f0 = pitch_mod.track_pitch(jnp.asarray(y), SR, 256 / SR)
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 0.9 * len(f0)
+    assert abs(np.median(voiced) - 78.0) < 2.0, np.median(voiced)
+    assert np.all(np.abs(1200 * np.log2(voiced / 78.0)) < 250)
+
+
+def test_pitch_below_floor_is_unvoiced():
+    """60 Hz sits below the 75 Hz candidate floor: the tracker must
+    refuse it (report unvoiced), not emit a garbage harmonic."""
+    y = _sawtooth(60.0, 0.7)
+    f0 = pitch_mod.track_pitch(jnp.asarray(y), SR, 256 / SR)
+    assert (f0 > 0).mean() < 0.1, (f0 > 0).mean()
+
+
+def test_pitch_creaky_irregular_pulses():
+    """Creak: ±25% random period jitter around 110 Hz.  The tracker may
+    smooth, but must stay voiced near the local rate — no runaway
+    values, no wholesale voicing loss."""
+    rng = np.random.default_rng(3)
+    n = int(0.8 * SR)
+    periods = []
+    total = 0.0
+    while total < n:
+        T = SR / 110.0 * (1.0 + 0.25 * rng.uniform(-1, 1))
+        periods.append(T)
+        total += T
+    y = _pulse_train_sig(periods, n)
+    f0 = pitch_mod.track_pitch(jnp.asarray(y), SR, 256 / SR)
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 0.9 * len(f0)
+    assert 95.0 < np.median(voiced) < 125.0, np.median(voiced)
+    lo, hi = np.percentile(voiced, [5, 95])
+    assert lo > 75.0 and hi < 160.0, (lo, hi)
+
+
+def test_pitch_period_doubling_trap_mild():
+    """Mild diplophonia (every other pulse at 0.9 amplitude): the signal
+    is strictly 80 Hz-periodic but the perceived pitch is 160 Hz, and
+    the octave cost must hold the tracker there."""
+    periods = [SR / 160.0] * 200
+    y = _pulse_train_sig(periods, int(0.8 * SR), alt=0.9)
+    f0 = pitch_mod.track_pitch(jnp.asarray(y), SR, 256 / SR)
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 0.9 * len(f0)
+    assert abs(np.median(voiced) - 160.0) < 3.0, np.median(voiced)
+
+
+def test_pitch_period_doubling_strong_reports_true_period():
+    """Strong diplophonia (alternation 0.8): the 80 Hz periodicity
+    dominates the autocorrelation and reporting the true period is the
+    correct (Praat-matching) behavior — locked in so a future 'fix'
+    doesn't silently change it."""
+    periods = [SR / 160.0] * 200
+    y = _pulse_train_sig(periods, int(0.8 * SR), alt=0.8)
+    f0 = pitch_mod.track_pitch(jnp.asarray(y), SR, 256 / SR)
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 0.9 * len(f0)
+    assert abs(np.median(voiced) - 80.0) < 2.0, np.median(voiced)
+
+
+def test_pitch_zero_db_snr():
+    """Harmonic signal at ~0 dB SNR (tightens the 5 dB breathy case):
+    still voiced at the right pitch."""
+    y = _sawtooth(180.0, 0.6)
+    rng = np.random.default_rng(3)
+    yn = (y + 0.25 * rng.standard_normal(len(y))).astype(np.float32)
+    f0 = pitch_mod.track_pitch(jnp.asarray(yn), SR, 256 / SR)
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 0.9 * len(f0)
+    assert abs(np.median(voiced) - 180.0) < 3.0, np.median(voiced)
+
+
+# ------------------------------------------------- real recording
+# First analysis assertions against a RECORDED human voice (the repo
+# ships _input.wav — the same recording the reference's self-test uses,
+# ref: GOOFER.py:1222); until now every analysis test was synthetic.
+
+def test_real_voice_extraction_sane():
+    from pathlib import Path
+
+    from goofer_tpu.utils.audio_io import read_wav_mono
+
+    wav = Path(__file__).parent.parent / "_input.wav"
+    y, sr = read_wav_mono(wav)
+    env, f0i, vmask, forms, knots = extract_features(
+        y.astype(np.float32), sr, n_fft=1024, hop_length=256)
+    env = np.asarray(env)
+    assert np.all(np.isfinite(env)) and env.min() >= 0.0
+
+    # sustained sung vowel: overwhelmingly voiced, f0 in vocal range
+    assert (np.asarray(vmask) > 0).mean() > 0.8
+    f0v = np.asarray(f0i)[np.asarray(vmask) > 0]
+    assert 150.0 < np.median(f0v) < 260.0, np.median(f0v)
+    lo, hi = np.percentile(f0v, [5, 95])
+    assert lo > 100.0 and hi < 350.0, (lo, hi)
+
+    # formants: vowel-plausible medians, strictly ordered
+    med = {}
+    for k in (1, 2, 3):
+        tr = np.asarray(forms[k], dtype=np.float64)
+        good = tr[np.isfinite(tr) & (tr > 0)]
+        assert len(good) > 0.8 * tr.size, (k, len(good), tr.size)
+        med[k] = float(np.median(good))
+    assert 300.0 < med[1] < 900.0, med
+    assert 900.0 < med[2] < 2500.0, med
+    assert 1800.0 < med[3] < 3500.0, med
+    assert med[1] < med[2] < med[3]
