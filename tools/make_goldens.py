@@ -121,6 +121,71 @@ def gen_reference(out_dir: Path, reference: Path) -> None:
     dump_praat_tracks(out_dir, src)
 
 
+# Real-voice configs (VERDICT r3 item 4): the shipped 2 s human
+# recording (_input.wav, the same file the reference's own self-test
+# uses, ref: GOOFER.py:1222) extracted by THIS repo and rendered through
+# the TRUE upstream chain.  Configs span the families the synthetic
+# goldens cover, on real formant structure / breath noise.
+VOICE_CONFIGS = [
+    ("voice_neutral", "A3", 100, "", 100, 900, 200, 0, 100, 0,
+     "!120", "AA"),
+    ("voice_shift_loop", "E4", 100, "t20L1", 100, 1200, 200, 0, 100, 0,
+     "!120", "AA"),
+    ("voice_formants", "A3", 100, "g-12fa6fb-5fw20br25es15", 100, 900,
+     200, 0, 100, 0, "!120", "AA"),
+    ("voice_texture", "C4", 100, "V70B35sh30sr25sd20su30", 100, 900,
+     200, 0, 100, 0, "!120", "AA"),
+    ("voice_fry", "G3", 100, "vf30vh50vl25st-20sa20", 100, 900, 200, 0,
+     100, 0, "!120", "ABAC#3#AD"),
+]
+
+
+def gen_real_voice(out_dir: Path) -> None:
+    """Vendor real-voice goldens: extract the shipped recording with the
+    production analysis stack, then render VOICE_CONFIGS through the
+    true upstream resampler (pinned seed, f64-phase pulse kernel — same
+    substitutions as gen_reference).  Also prints each config's
+    upstream seed-0-vs-seed-1 LSD floor, which sets the test budget."""
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import shutil
+
+    import numpy as np
+
+    from tests import oracles as o
+    from tests.ref_harness import load_reference, render_reference
+    from goofer_tpu.sampler.resampler import GooferResampler
+    from goofer_tpu.utils.audio_io import read_wav
+    from goofer_tpu.utils.metrics import lsd_db
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    src = out_dir / "src.wav"
+    shutil.copy(REPO / "_input.wav", src)
+    scratch = out_dir / "_warm.wav"
+    GooferResampler(str(src), str(scratch), *VOICE_CONFIGS[0][1:], seed=0)
+    scratch.unlink()
+    assert (out_dir / "src_features.goofy").exists()
+
+    gf = load_reference()[0]
+    orig_pt = gf.pulse_train_numba
+    gf.pulse_train_numba = lambda f0, sr, Ra=0.02, Rg=1.7, Rk=0.8: \
+        o.o_pulse_train(f0, sr, Ra, Rg, Rk).astype(np.float32)
+    try:
+        for name, *args in VOICE_CONFIGS:
+            out = out_dir / f"out_{name}.wav"
+            render_reference(src, out, *args, seed=0, capture=False)
+            alt = out_dir / f"_alt_{name}.wav"
+            render_reference(src, alt, *args, seed=1, capture=False)
+            y0, sr0 = read_wav(out)
+            y1, _ = read_wav(alt)
+            alt.unlink()
+            floor = lsd_db(np.asarray(y0, np.float32),
+                           np.asarray(y1, np.float32), sr0)
+            print(f"[golden-voice] {out.name}  seed floor "
+                  f"{floor:.2f} dB")
+    finally:
+        gf.pulse_train_numba = orig_pt
+
+
 def dump_praat_tracks(out_dir: Path, src: Path) -> None:
     """Vendor Praat ground truth for the analysis trackers (VERDICT r1
     item 5): parselmouth F0 + Burg formant tracks of src.wav, saved as
@@ -168,11 +233,14 @@ def dump_praat_tracks(out_dir: Path, src: Path) -> None:
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=("repo", "reference"), default="repo")
+    ap.add_argument("--mode", choices=("repo", "reference", "voice"),
+                    default="repo")
     ap.add_argument("--reference", default="/root/reference")
     a = ap.parse_args()
     if a.mode == "repo":
         gen_repo(REPO / "tests" / "golden" / "repo")
+    elif a.mode == "voice":
+        gen_real_voice(REPO / "tests" / "golden" / "voice")
     else:
         gen_reference(REPO / "tests" / "golden" / "ref",
                       Path(a.reference))
