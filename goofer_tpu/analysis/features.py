@@ -119,16 +119,23 @@ def _unpack_mixed(flat_np, shapes, splits):
     return outs
 
 
-def _lean_tail(sr, n_fft, k_values, log_env, f0_interp, voicing_mask,
-               tracks, errs):
+def _lean_tail(sr, n_fft, k_values, log_env, f0_track, tracks, errs):
     """Device side of the adaptive-K knot pick (VERDICT r2 item 4): the
     first K under budget is selected ON DEVICE and only its (padded)
     knot rows leave the chip as f16 — the dense env/log_env (2 x
     n_bins x T f32, the bulk of the warm-extraction fetch) never ship.
+
+    f0 ships at FRAME rate (VERDICT r3 item 6): the per-sample f32
+    interp + u8 mask were ~60% of the lean fetch bytes (0.5 MB for a
+    2 s file) and the tunnel d2h is the folder-extraction bottleneck;
+    the linear per-sample interp and the >75 Hz threshold are trivial
+    host math (_host_f0_interp), identical to the device formula up to
+    last-bit rounding — sub-f16, so the stored .goofy payload is
+    unchanged (tests/test_batch_extract.py::test_lean_extraction_
+    identical compares at storage precision).
+
     Same arithmetic as the host _pick_knots (the f32->f16 cast rounds
-    nearest-even on both sides); saved .goofy payload is identical up to
-    XLA fusion reassociation of the shared graph ops (<=1-2 ulp,
-    tests/test_batch_extract.py::test_lean_extraction_identical)."""
+    nearest-even on both sides)."""
     n_bins = n_fft // 2 + 1
     ok = errs < KNOT_EPS
     chosen = jnp.where(jnp.any(ok), jnp.argmax(ok),
@@ -140,8 +147,34 @@ def _lean_tail(sr, n_fft, k_values, log_env, f0_interp, voicing_mask,
         for k in k_values])
     rows = jnp.take(jnp.asarray(idx_stack), chosen, axis=0)
     knots16 = log_env[rows, :].astype(jnp.float16)
-    mask8 = voicing_mask.astype(jnp.uint8)
-    return knots16, chosen, f0_interp, mask8, tracks
+    return knots16, chosen, f0_track.astype(jnp.float32), tracks
+
+
+def _host_f0_interp(f0_track, n: int, f0_min: float, nf: int | None = None):
+    """Host mirror of the device per-sample f0 interpolation (shared
+    [0, duration] axis, edge-clamped linear gather, clip, >f0_min mask;
+    ref: GOOFER.py:960-966).  ``nf`` (bucketed path) is the TRUE frame
+    count inside a padded track.  float32 arithmetic like the device;
+    differences are last-bit rounding — invisible at the f16 storage
+    precision of the .goofy payload."""
+    f0_track = np.asarray(f0_track, dtype=np.float32)
+    k = int(len(f0_track) if nf is None else nf)
+    if k <= 1:
+        f0_interp = np.full(n, f0_track[0] if k else 0.0, dtype=np.float32)
+    else:
+        if nf is None:
+            pos = np.linspace(0.0, k - 1.0, n).astype(np.float32)
+        else:
+            ratio = np.float32(k - 1.0) / np.float32(max(n - 1, 1))
+            pos = np.arange(n, dtype=np.float32) * ratio
+            pos = np.minimum(pos, np.float32(k - 1.0))
+        lo = np.clip(np.floor(pos).astype(np.int32), 0, k - 2)
+        frac = (pos - lo.astype(np.float32))
+        hi = np.minimum(lo + 1, k - 1)
+        f0_interp = f0_track[lo] * (1.0 - frac) + f0_track[hi] * frac
+    f0_interp = np.clip(f0_interp, config.F0_CLIP_LO, config.F0_CLIP_HI)
+    mask = (f0_interp > f0_min).astype(np.float64)
+    return f0_interp.astype(np.float64), mask
 
 
 def _knots_from_lean(knots16, chosen_idx, k_values, sr, n_fft,
@@ -181,14 +214,17 @@ def _analysis_graph(n: int, sr: int, n_fft: int, hop: int, f0_min: float,
         f0_track = pitch_graph(y, sr, hop / sr, PitchConfig(f0_min=f0_min))
         f0_track = jnp.nan_to_num(f0_track)
         f0_track = fix_f0_gaps(f0_track, f0_merge_range)
-        if f0_track.shape[0] > 1:
-            # shared [0, duration] axis on both grids (ref: GOOFER.py:960-963)
-            pos = jnp.linspace(0.0, f0_track.shape[0] - 1.0, n)
-            f0_interp = gather_lerp(f0_track, pos, axis=0)
-        else:
-            f0_interp = jnp.full((n,), f0_track[0])
-        f0_interp = jnp.clip(f0_interp, config.F0_CLIP_LO, config.F0_CLIP_HI)
-        voicing_mask = (f0_interp > f0_min).astype(jnp.float32)
+        if not lean:
+            if f0_track.shape[0] > 1:
+                # shared [0, duration] axis on both grids
+                # (ref: GOOFER.py:960-963)
+                pos = jnp.linspace(0.0, f0_track.shape[0] - 1.0, n)
+                f0_interp = gather_lerp(f0_track, pos, axis=0)
+            else:
+                f0_interp = jnp.full((n,), f0_track[0])
+            f0_interp = jnp.clip(f0_interp, config.F0_CLIP_LO,
+                                 config.F0_CLIP_HI)
+            voicing_mask = (f0_interp > f0_min).astype(jnp.float32)
 
         if with_formants:
             tracks = formant_graph(y, sr, hop / sr)
@@ -212,8 +248,8 @@ def _analysis_graph(n: int, sr: int, n_fft: int, hop: int, f0_min: float,
             errs.append(jnp.max(jnp.abs(recon - env_check)
                                 / (env_check + 1e-8)))
         if lean:
-            return _lean_tail(sr, n_fft, k_values, log_env, f0_interp,
-                              voicing_mask, tracks, jnp.stack(errs))
+            return _lean_tail(sr, n_fft, k_values, log_env, f0_track,
+                              tracks, jnp.stack(errs))
         return env_spec, f0_interp, voicing_mask, tracks, log_env, \
             jnp.stack(errs)
 
@@ -242,7 +278,7 @@ def _analysis_graph_bucketed(n_pad: int, sr: int, n_fft: int, hop: int,
     k_values = tuple(range(KNOT_K_START, KNOT_K_MAX + 1, KNOT_K_STEP))
     dt = hop / sr
 
-    def graph(y, n_true, p_starts, p_nf, f_starts):
+    def graph(y, n_true, p_starts, p_nf, f_starts, f_nf):
         # write the stft's right reflect pad at the TRUE end into the
         # zero padding, so even the boundary-straddling frames equal the
         # unpadded analysis: padded[n_true+k] = y[n_true-2-k]
@@ -263,19 +299,21 @@ def _analysis_graph_bucketed(n_pad: int, sr: int, n_fft: int, hop: int,
                                         PitchConfig(f0_min=f0_min))
         f0_track = jnp.nan_to_num(f0_track)
         f0_track = fix_f0_gaps(f0_track, f0_merge_range)
-        # per-sample interp over the shared [0, duration] axis, with the
-        # TRUE frame/sample counts (ref: GOOFER.py:960-963)
-        pos = (jnp.arange(n_pad, dtype=jnp.float32)
-               * (jnp.maximum(p_nf.astype(jnp.float32) - 1.0, 0.0)
-                  / jnp.maximum(n_true - 1.0, 1.0)))
-        pos = jnp.minimum(pos, p_nf.astype(jnp.float32) - 1.0)
-        f0_interp = gather_lerp(f0_track, pos, axis=0)
-        f0_interp = jnp.where(p_nf > 1, f0_interp, f0_track[0])
-        f0_interp = jnp.clip(f0_interp, config.F0_CLIP_LO, config.F0_CLIP_HI)
-        voicing_mask = (f0_interp > f0_min).astype(jnp.float32)
+        if not lean:
+            # per-sample interp over the shared [0, duration] axis, with
+            # the TRUE frame/sample counts (ref: GOOFER.py:960-963)
+            pos = (jnp.arange(n_pad, dtype=jnp.float32)
+                   * (jnp.maximum(p_nf.astype(jnp.float32) - 1.0, 0.0)
+                      / jnp.maximum(n_true - 1.0, 1.0)))
+            pos = jnp.minimum(pos, p_nf.astype(jnp.float32) - 1.0)
+            f0_interp = gather_lerp(f0_track, pos, axis=0)
+            f0_interp = jnp.where(p_nf > 1, f0_interp, f0_track[0])
+            f0_interp = jnp.clip(f0_interp, config.F0_CLIP_LO,
+                                 config.F0_CLIP_HI)
+            voicing_mask = (f0_interp > f0_min).astype(jnp.float32)
 
         if with_formants:
-            tracks = _fg(y, sr, dt, starts=f_starts)
+            tracks = _fg(y, sr, dt, starts=f_starts, nf=f_nf)
         else:
             tracks = jnp.zeros((5, ff_pad), dtype=jnp.float32)
 
@@ -297,8 +335,8 @@ def _analysis_graph_bucketed(n_pad: int, sr: int, n_fft: int, hop: int,
             errs.append(jnp.max(jnp.abs(recon - env_check)
                                 / (env_check + 1e-8)))
         if lean:
-            return _lean_tail(sr, n_fft, k_values, log_env, f0_interp,
-                              voicing_mask, tracks, jnp.stack(errs))
+            return _lean_tail(sr, n_fft, k_values, log_env, f0_track,
+                              tracks, jnp.stack(errs))
         return env_spec, f0_interp, voicing_mask, tracks, log_env, \
             jnp.stack(errs)
 
@@ -309,6 +347,7 @@ def _analysis_graph_bucketed(n_pad: int, sr: int, n_fft: int, hop: int,
         jax.ShapeDtypeStruct((pf_pad,), jnp.int32),
         jax.ShapeDtypeStruct((), jnp.int32),
         jax.ShapeDtypeStruct((ff_pad,), jnp.int32),
+        jax.ShapeDtypeStruct((), jnp.int32),
     ))
     return jax.jit(jax.vmap(packed)), k_values, shapes, splits
 
@@ -333,12 +372,12 @@ def extract_features(y, sr: int, n_fft: int = 1024, hop_length: int = 256,
     flat = np.asarray(graph(jnp.asarray(y)))          # ONE d2h round trip
 
     if not dense:
-        knots16, chosen, f0_interp, mask8, tracks = _unpack_mixed(
+        knots16, chosen, f0_track, tracks = _unpack_mixed(
             flat, shapes, splits)
         env_knots = _knots_from_lean(knots16, chosen, k_values, sr, n_fft)
         t_frames = knots16.shape[1]
         env_spec = None
-        voicing_mask = mask8
+        f0_interp, voicing_mask = _host_f0_interp(f0_track, n, f0_min)
     else:
         env_spec, f0_interp, voicing_mask, tracks, log_env, errs = _unpack(
             flat, shapes, splits)
@@ -418,6 +457,12 @@ def extract_features_batch(ys, sr: int, n_fft: int = 1024,
     for n_pad, i, y in items:
         by_bucket.setdefault(n_pad, []).append((i, y))
 
+    # Phase 1: DISPATCH every chunk before fetching any (jit dispatch is
+    # async) — device execution of later chunks overlaps the host's
+    # fetch/unpack/save of earlier ones (VERDICT r3 item 6: the serial
+    # dispatch->fetch->process rhythm left the chip idle during host
+    # work at voicebank scale).
+    pending = []
     for n_pad, group in sorted(by_bucket.items()):
         pf_pad = n_pad // hop_length + 2
         ff_pad = n_pad // hop_length + 2
@@ -437,6 +482,7 @@ def extract_features_batch(ys, sr: int, n_fft: int = 1024,
             p_starts = np.zeros((b_pad, pf_pad), dtype=np.int32)
             p_nf = np.empty(b_pad, dtype=np.int32)
             f_starts = np.zeros((b_pad, ff_pad), dtype=np.int32)
+            f_nf = np.empty(b_pad, dtype=np.int32)
             ff_true = np.empty(b_pad, dtype=np.int64)
             for j, (idx, y) in enumerate(rows):
                 n = len(y)
@@ -449,12 +495,13 @@ def extract_features_batch(ys, sr: int, n_fft: int = 1024,
                 p_starts[j, nf:] = starts[-1]
                 fnf, fstarts, _, _ = formant_frame_grid(n, sr, dt)
                 ff_true[j] = fnf
+                f_nf[j] = fnf
                 f_starts[j, :fnf] = fstarts
                 f_starts[j, fnf:] = fstarts[-1]
 
             if mesh is None:
-                flat_b = np.asarray(graph(
-                    yb, n_true, p_starts, p_nf, f_starts))  # ONE fetch/chunk
+                flat_dev = graph(yb, n_true, p_starts, p_nf, f_starts,
+                                 f_nf)                    # async dispatch
             else:
                 from jax.sharding import NamedSharding
                 from jax.sharding import PartitionSpec as P
@@ -465,34 +512,47 @@ def extract_features_batch(ys, sr: int, n_fft: int = 1024,
                                           NamedSharding(mesh, spec))
 
                 with mesh:
-                    flat_b = np.asarray(graph(
+                    flat_dev = graph(
                         put(yb), put(n_true), put(p_starts), put(p_nf),
-                        put(f_starts)))
-            unpack = _unpack_mixed if not dense else _unpack
-            rows_np = [unpack(row, shapes, splits) for row in flat_b]
+                        put(f_starts), put(f_nf))
+            pending.append((flat_dev, part, p_nf, ff_true, k_values,
+                            shapes, splits))
 
-            for j, (idx, y) in enumerate(part):
-                n = len(y)
-                t_true = 1 + n // hop_length
-                if not dense:
-                    knots16, chosen, f0_j, mask8, tr = rows_np[j]
-                    env = None
-                    knots = _knots_from_lean(knots16, chosen, k_values,
-                                             sr, n_fft, t_true=t_true)
-                    f0_out = f0_j[:n].astype(np.float64)
-                    mask_out = mask8[:n].astype(np.float64)
-                else:
-                    env_j, f0_j, mask_j, tr, log_j, errs_j = rows_np[j]
-                    env = env_j[:, :t_true]
-                    knots = _pick_knots(log_j[:, :t_true], errs_j,
-                                        k_values, sr, n_fft)
-                    f0_out = f0_j[:n].astype(np.float64)
-                    mask_out = mask_j[:n].astype(np.float64)
-                tr = tr[:, :int(ff_true[j])]
-                if tr.shape[1] < t_true:
-                    tr = np.pad(tr, ((0, 0), (0, t_true - tr.shape[1])))
-                else:
-                    tr = tr[:, :t_true]
-                formants = {k + 1: tr[k] for k in range(tr.shape[0])}
-                results[idx] = (env, f0_out, mask_out, formants, knots)
+    # Phase 2: fetch + unpack in dispatch order (ONE d2h per chunk).
+    # Start every chunk's d2h ASYNC first, so chunk i+1's transfer rides
+    # the tunnel while the host unpacks/saves chunk i.
+    for flat_dev, *_ in pending:
+        try:
+            flat_dev.copy_to_host_async()
+        except (AttributeError, RuntimeError):  # pragma: no cover
+            pass
+    for flat_dev, part, p_nf, ff_true, k_values, shapes, splits in pending:
+        flat_b = np.asarray(flat_dev)
+        unpack = _unpack_mixed if not dense else _unpack
+        rows_np = [unpack(row, shapes, splits) for row in flat_b]
+
+        for j, (idx, y) in enumerate(part):
+            n = len(y)
+            t_true = 1 + n // hop_length
+            if not dense:
+                knots16, chosen, f0_tr, tr = rows_np[j]
+                env = None
+                knots = _knots_from_lean(knots16, chosen, k_values,
+                                         sr, n_fft, t_true=t_true)
+                f0_out, mask_out = _host_f0_interp(
+                    f0_tr, n, f0_min, nf=int(p_nf[j]))
+            else:
+                env_j, f0_j, mask_j, tr, log_j, errs_j = rows_np[j]
+                env = env_j[:, :t_true]
+                knots = _pick_knots(log_j[:, :t_true], errs_j,
+                                    k_values, sr, n_fft)
+                f0_out = f0_j[:n].astype(np.float64)
+                mask_out = mask_j[:n].astype(np.float64)
+            tr = tr[:, :int(ff_true[j])]
+            if tr.shape[1] < t_true:
+                tr = np.pad(tr, ((0, 0), (0, t_true - tr.shape[1])))
+            else:
+                tr = tr[:, :t_true]
+            formants = {k + 1: tr[k] for k in range(tr.shape[0])}
+            results[idx] = (env, f0_out, mask_out, formants, knots)
     return results

@@ -32,6 +32,21 @@ def _lowpass_kernel(cutoff_frac: float, taps: int = 127) -> np.ndarray:
     return (h / h.sum()).astype(np.float32)
 
 
+def _formant_decim(sr: float, max_formant_hz: float) -> int:
+    """Integer decimation factor for the Burg analysis rate: the largest
+    power of two <= sr / (2*max_formant_hz) that divides common hops.
+    44.1k -> 4 (11025 Hz), 48k -> 4 (12000 Hz), 22.05k -> 2 (11025 Hz).
+    The analysis rate lands slightly ABOVE Praat's exact 2*ceiling
+    resample (11025 vs 11000 at 44.1k, <0.3% — far inside the formant
+    budgets); in exchange the decimation is an exact strided slice and
+    the frame stride hop/decim stays integral, so framing rides the
+    slice-based path instead of the TPU-hostile row gather."""
+    d = 1
+    while d * 2 <= 256 and sr / (d * 2) >= 2.0 * max_formant_hz:
+        d *= 2
+    return d
+
+
 def _resample_to(y: jnp.ndarray, sr: float, target_sr: float) -> jnp.ndarray:
     """Anti-aliased linear resample (downsample only)."""
     from goofer_tpu.ops.filters import fft_conv_valid
@@ -49,6 +64,19 @@ def _resample_to(y: jnp.ndarray, sr: float, target_sr: float) -> jnp.ndarray:
     lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, y.shape[0] - 2)
     frac = (pos - lo).astype(jnp.float32)
     return filt[lo] * (1 - frac) + filt[lo + 1] * frac, target_sr
+
+
+def _decimate(y: jnp.ndarray, sr: float, decim: int):
+    """Anti-aliased exact decimation: FIR lowpass + [::decim] slice."""
+    from goofer_tpu.ops.filters import fft_conv_valid
+
+    if decim <= 1:
+        return y, sr
+    kernel = _lowpass_kernel(1.0 / decim)
+    pad = (len(kernel) - 1) // 2
+    yp = jnp.pad(y, pad, mode="edge")
+    filt = fft_conv_valid(yp[None, :], kernel)[0]
+    return filt[::decim], sr / decim
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -121,36 +149,50 @@ def _poly_roots_dk(coeffs: jnp.ndarray, order: int,
 def formant_frame_grid(n_samples: int, sr: float, dt: float,
                        max_formant_hz: float = 5500.0,
                        window_half_sec: float = 0.025):
-    """Host-side Praat-style centered frame grid in the RESAMPLED domain
-    (the Burg analysis runs at 2*max_formant_hz).  Returns
+    """Host-side Praat-style centered frame grid in the DECIMATED domain
+    (the Burg analysis runs at sr / _formant_decim).  Starts are exactly
+    regular — clip(s0 + k*hop2) — when the decimated stride is integral
+    (every production config), enabling the slice-based device framing
+    (see analysis/pitch._frames_praat).  Returns
     (n_frames, starts, wlen, n_resampled)."""
-    sr2 = min(float(sr), 2.0 * max_formant_hz)
-    n = int(round(n_samples * sr2 / sr)) if sr2 < sr else int(n_samples)
+    decim = _formant_decim(sr, max_formant_hz)
+    sr2 = sr / decim
+    n = -(-int(n_samples) // decim) if decim > 1 else int(n_samples)
     wlen = int(round(2.0 * window_half_sec * sr2))
     wlen = min(wlen, max(32, n))
     duration = n / sr2
     n_frames = max(1, int(np.floor((duration - wlen / sr2) / dt)) + 1)
     t1 = (duration - (n_frames - 1) * dt) / 2.0
-    starts = np.clip(np.round((t1 + dt * np.arange(n_frames)) * sr2
-                              - wlen / 2).astype(np.int64),
-                     0, max(0, n - wlen))
+    hop_f = dt * sr2
+    if abs(hop_f - round(hop_f)) < 1e-6:
+        s0 = int(round(t1 * sr2 - wlen / 2.0))
+        starts = s0 + int(round(hop_f)) * np.arange(n_frames,
+                                                    dtype=np.int64)
+    else:
+        starts = np.round((t1 + dt * np.arange(n_frames)) * sr2
+                          - wlen / 2).astype(np.int64)
+    starts = np.clip(starts, 0, max(0, n - wlen))
     return n_frames, starts, wlen, n
 
 
 def formant_graph(y: jnp.ndarray, sr: float, dt: float,
                   max_formants: int = 5, max_formant_hz: float = 5500.0,
                   window_half_sec: float = 0.025,
-                  starts=None) -> jnp.ndarray:
+                  starts=None, nf=None) -> jnp.ndarray:
     """Pure-JAX formant tracks (max_formants, n_frames), 0.0 where
     missing; traceable into a larger analysis graph.
 
-    ``starts`` (resampled-domain frame starts, possibly bucket-padded by
+    ``starts`` (decimated-domain frame starts, possibly bucket-padded by
     repeating the last entry) overrides the internally computed grid —
     the bucketed batch extractor passes the TRUE signal's grid while
     ``y`` carries trailing zero padding; padded frames produce junk rows
-    the host discards."""
+    the host discards.  ``nf`` is the true frame count for the strided
+    framing's edge fixups (defaults to len(starts))."""
+    from goofer_tpu.analysis.pitch import _frames_praat
+
     y = jnp.asarray(y, dtype=jnp.float32)
-    y_rs, sr2 = _resample_to(y, float(sr), 2.0 * max_formant_hz)
+    decim = _formant_decim(float(sr), max_formant_hz)
+    y_rs, sr2 = _decimate(y, float(sr), decim)
     n = int(y_rs.shape[0])
 
     # pre-emphasis from 50 Hz
@@ -162,9 +204,16 @@ def formant_graph(y: jnp.ndarray, sr: float, dt: float,
     if starts is None:
         _, starts, wlen, _ = formant_frame_grid(
             y.shape[0], sr, dt, max_formant_hz, window_half_sec)
+    if nf is None:
+        nf = np.shape(starts)[0]
 
-    idx = jnp.asarray(starts)[:, None] + jnp.arange(wlen)[None, :]
-    frames = y_pe[idx]
+    hop_f = dt * sr2
+    hop2 = int(round(hop_f)) if abs(hop_f - round(hop_f)) < 1e-6 else 0
+    if hop2 > 0:
+        frames = _frames_praat(y_pe, jnp.asarray(starts), nf, wlen, hop2)
+    else:
+        idx = jnp.asarray(starts)[:, None] + jnp.arange(wlen)[None, :]
+        frames = y_pe[idx]
     frames = frames - jnp.mean(frames, axis=1, keepdims=True)
     # Praat's Gaussian analysis window
     tgrid = (np.arange(wlen) - (wlen - 1) / 2.0) / ((wlen - 1) / 2.0)

@@ -39,27 +39,93 @@ class PitchConfig:
 
 def _frame_grid(n_samples: int, sr: float, dt: float, wlen: int):
     """Praat-style centered frame grid: as many frames of length wlen as fit,
-    centered in the signal."""
+    centered in the signal.
+
+    When the stride dt*sr is an integer (every production config: dt =
+    hop/sr), starts are EXACTLY regular — clip(s0 + k*hop) — instead of
+    per-frame rounding of float centers, whose last-bit wobble made
+    interior starts jitter by ±1 sample.  The regularity is what lets
+    the device build frames from hop-block slices instead of a row
+    gather (_frames_praat); the ≤1-sample window shift is far below the
+    tracker's parity budgets."""
     duration = n_samples / sr
     wdur = wlen / sr
     n_frames = max(1, int(np.floor((duration - wdur) / dt)) + 1)
     t1 = (duration - (n_frames - 1) * dt) / 2.0
     centers = t1 + dt * np.arange(n_frames)
-    starts = np.round(centers * sr - wlen / 2.0).astype(np.int64)
+    hop_f = dt * sr
+    if abs(hop_f - round(hop_f)) < 1e-6:
+        s0 = int(round(t1 * sr - wlen / 2.0))
+        starts = s0 + int(round(hop_f)) * np.arange(n_frames, dtype=np.int64)
+    else:
+        starts = np.round(centers * sr - wlen / 2.0).astype(np.int64)
     starts = np.clip(starts, 0, max(0, n_samples - wlen))
     return n_frames, starts, centers
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _frames_strided(y, shift, f_pad: int, wlen: int, hop: int):
+    """frames[k] = ypad[shift + k*hop : +wlen] built from hop-block
+    reshape + static slices — the general row gather this replaces ran
+    ~100x slower on TPU (the per-element gather dominated the whole
+    analysis graph; tools/probe_extract_stages.py).  ``shift`` is a
+    traced scalar (one dynamic_slice); everything after is static."""
+    cols = -(-wlen // hop)
+    wpad = cols * hop
+    sz = f_pad * hop + wpad
+    padl = wlen + 2 * hop
+    padr = max(0, sz - int(y.shape[0])) + hop
+    ypad = jnp.pad(y, (padl, padr))
+    off = jnp.clip(padl + shift, 0, ypad.shape[0] - sz).astype(jnp.int32)
+    y2 = jax.lax.dynamic_slice(ypad, (off,), (sz,))
+    blocks = y2.reshape(f_pad + cols, hop)
+    segs = [jax.lax.slice_in_dim(blocks, j, j + f_pad, axis=0)
+            for j in range(cols)]
+    return jnp.concatenate(segs, axis=1)[:, :wlen]
+
+
+def _frames_praat(y, starts, nf, wlen: int, hop: int):
+    """Frames on a Praat-style grid: starts[k] = clip(s0 + k*hop,
+    0, n-wlen) (+ repeated-last padding past ``nf``).  The regular
+    interior rides the strided-block path; the <=FIX clamped head/tail
+    rows (and everything, for tiny signals) are overwritten with exact
+    per-row slices.  Bit-identical to gathering every row."""
+    f_pad = int(starts.shape[0])
+    fix = min(int(np.ceil((wlen / 2 + hop) / hop)) + 2, f_pad)
+    nf = jnp.asarray(nf, dtype=jnp.int32)
+    starts = jnp.asarray(starts, dtype=jnp.int32)
+    k_star = jnp.minimum(jnp.int32(fix), nf - 1)
+    s0 = starts[k_star] - k_star * hop
+    frames = _frames_strided(y, s0, f_pad, wlen, hop)
+
+    def row(start):
+        return jax.lax.dynamic_slice(
+            y, (jnp.clip(start, 0, y.shape[0] - wlen),), (wlen,))
+
+    head = jnp.stack([row(starts[k]) for k in range(fix)])
+    frames = jax.lax.dynamic_update_slice(frames, head, (0, 0))
+    for j in range(fix):
+        kt = jnp.clip(nf - 1 - j, 0, f_pad - 1)
+        frames = jax.lax.dynamic_update_slice(
+            frames, row(starts[kt])[None], (kt, 0))
+    return frames
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 6))
 def _candidates(y, sr: float, wlen: int, nfft: int, cfg: PitchConfig,
-                starts):
+                starts, hop: int, nf=None):
     """Per-frame voiced candidates (freq, strength) + local intensity."""
     lag_min = max(2, int(np.floor(sr / cfg.f0_max)))
     lag_max = int(np.ceil(sr / cfg.f0_min))
     lag_max = min(lag_max, wlen - 2)
 
-    idx = starts[:, None] + jnp.arange(wlen)[None, :]
-    frames = y[idx]                                     # (F, wlen)
+    if nf is None:
+        nf = starts.shape[0]
+    if hop > 0:
+        frames = _frames_praat(y, starts, nf, wlen, hop)  # (F, wlen)
+    else:
+        # non-integer frame stride: general (slow) row gather
+        idx = starts[:, None] + jnp.arange(wlen)[None, :]
+        frames = y[idx]
     frames = frames - jnp.mean(frames, axis=1, keepdims=True)
     local_peak = jnp.max(jnp.abs(frames), axis=1)
 
@@ -69,28 +135,33 @@ def _candidates(y, sr: float, wlen: int, nfft: int, cfg: PitchConfig,
     spec = jnp.fft.rfft(xw, n=nfft, axis=1)
     ac = jnp.fft.irfft(spec * jnp.conj(spec), n=nfft, axis=1)
     r0 = jnp.maximum(ac[:, 0:1], 1e-12)
-    r = ac / r0                                          # (F, nfft)
 
     # window autocorrelation (static)
     w = np.hanning(wlen).astype(np.float64)
     wac = np.fft.irfft(np.abs(np.fft.rfft(w, n=nfft)) ** 2, n=nfft)
     wac = (wac / wac[0]).astype(np.float32)
     wac = np.where(np.abs(wac) > 1e-6, wac, 1e-6)
-    r = r / jnp.asarray(wac)[None, :]
 
-    lags = jnp.arange(nfft)
-    in_range = (lags >= lag_min) & (lags <= lag_max)
-
-    rm1 = jnp.roll(r, 1, axis=1)
-    rp1 = jnp.roll(r, -1, axis=1)
-    is_peak = (r > rm1) & (r >= rp1) & in_range[None, :]
+    # Restrict normalization + peak/refinement/top-k math to the
+    # candidate lag band [lag_min, lag_max] (f0 range -> ~13% of the
+    # nfft lags): the elementwise chain over all nfft lags was the
+    # analysis graph's hottest HBM traffic (VERDICT r3 item 6; a
+    # 16-file batch touched ~90 MB per intermediate,
+    # tools/probe_extract_stages.py).
+    band = slice(lag_min - 1, lag_max + 2)
+    seg = (ac[:, band] / r0) / jnp.asarray(wac[band])[None, :]  # (F, L+2)
+    rm1 = seg[:, :-2]
+    rc = seg[:, 1:-1]
+    rp1 = seg[:, 2:]
+    lags = jnp.arange(lag_min, lag_max + 1)
+    is_peak = (rc > rm1) & (rc >= rp1)
 
     # parabolic refinement around each lag
-    denom = rm1 - 2.0 * r + rp1
+    denom = rm1 - 2.0 * rc + rp1
     dlag = jnp.where(jnp.abs(denom) > 1e-12,
                      0.5 * (rm1 - rp1) / denom, 0.0)
     dlag = jnp.clip(dlag, -0.5, 0.5)
-    r_ref = r - 0.25 * (rm1 - rp1) * dlag
+    r_ref = rc - 0.25 * (rm1 - rp1) * dlag
     lag_ref = lags[None, :] + dlag
 
     freq = sr / jnp.maximum(lag_ref, 1e-6)
@@ -108,51 +179,72 @@ def _candidates(y, sr: float, wlen: int, nfft: int, cfg: PitchConfig,
 @functools.partial(jax.jit, static_argnums=(3,))
 def _viterbi(freqs, strengths, unvoiced_strength, cfg: PitchConfig,
              dt_ratio, valid=None):
-    """Max-sum path over (K voiced + 1 unvoiced) states per frame.
+    """Max-sum path over (K voiced + 1 unvoiced) states per frame,
+    solved by PARALLEL PREFIX instead of a sequential scan.
+
+    The classic Viterbi lax.scan costs one sequential device step per
+    frame — ~0.5 ms/step on TPU for these tiny (K+1)-state updates, so
+    the two scans (forward + backtrace) dominated the whole analysis
+    graph (173 ms of a 280 ms voicebank batch; tools/
+    probe_extract_stages.py).  Max-plus matrix products are associative,
+    so the forward deltas are an inclusive jax.lax.associative_scan of
+    the per-step (K+1)x(K+1) score matrices (log2(F) parallel levels),
+    the backward "best suffix" betas are the same scan reversed, and the
+    optimal state at frame t is argmax(delta_t + beta_t) — the
+    backtrace falls out of the marginals, no second sequential pass.
+    Identical path to the sequential solve away from exact score ties
+    (tests/test_analysis.py::test_viterbi_parallel_matches_sequential).
 
     ``valid`` (F,) bool marks true frames when the arrays carry trailing
-    bucket padding: invalid steps pass delta/state through untouched, so
-    the path over the true frames equals the unpadded solve exactly."""
+    bucket padding: invalid steps contribute max-plus IDENTITY matrices
+    (pass-through), so the path over the true frames equals the
+    unpadded solve exactly."""
     k = freqs.shape[1]
     # state arrays: index 0..k-1 voiced, k = unvoiced
     s_all = jnp.concatenate([strengths, unvoiced_strength[:, None]], axis=1)
     f_all = jnp.concatenate([freqs, jnp.zeros_like(freqs[:, :1])], axis=1)
+    n_frames = s_all.shape[0]
     if valid is None:
-        valid = jnp.ones((freqs.shape[0],), dtype=bool)
+        valid = jnp.ones((n_frames,), dtype=bool)
 
     vu_cost = cfg.voiced_unvoiced_cost * dt_ratio
     oj_cost = cfg.octave_jump_cost * dt_ratio
 
-    def trans_cost(f_prev, f_next):
-        pv = f_prev > 0
-        nv = f_next > 0
-        both = pv & nv
-        jump = oj_cost * jnp.abs(
-            jnp.log2(jnp.maximum(f_prev, 1e-6) / jnp.maximum(f_next, 1e-6)))
-        return jnp.where(both, jump, jnp.where(pv ^ nv, vu_cost, 0.0))
+    # per-step score matrices M[t, i, j] = s[t+1, j] - cost(f[t,i], f[t+1,j])
+    f_prev = f_all[:-1, :, None]
+    f_next = f_all[1:, None, :]
+    pv = f_prev > 0
+    nv = f_next > 0
+    jump = oj_cost * jnp.abs(
+        jnp.log2(jnp.maximum(f_prev, 1e-6) / jnp.maximum(f_next, 1e-6)))
+    cost = jnp.where(pv & nv, jump, jnp.where(pv ^ nv, vu_cost, 0.0))
+    m = s_all[1:, None, :] - cost                      # (F-1, K+1, K+1)
+    ident_m = jnp.where(jnp.eye(k + 1, dtype=bool), 0.0, -1e9)
+    m = jnp.where(valid[1:, None, None], m, ident_m[None])
 
-    ident = jnp.arange(k + 1)
-
-    def step(delta_prev, inputs):
-        s_t, f_t, f_prev, v_t = inputs
-        cost = trans_cost(f_prev[:, None], f_t[None, :])   # (K+1, K+1)
-        scores = delta_prev[:, None] - cost
-        best_prev = jnp.where(v_t, jnp.argmax(scores, axis=0), ident)
-        delta = jnp.where(v_t, s_t + jnp.max(scores, axis=0), delta_prev)
-        return delta, best_prev
+    def combine(a, b):
+        # max-plus matmul: out[i, j] = max_k a[i, k] + b[k, j]
+        return jnp.max(a[..., :, :, None] + b[..., None, :, :], axis=-2)
 
     delta0 = s_all[0]
-    deltaT, back = jax.lax.scan(step, delta0,
-                                (s_all[1:], f_all[1:], f_all[:-1],
-                                 valid[1:]))
+    prefix = jax.lax.associative_scan(combine, m, axis=0)
+    delta = jnp.concatenate([
+        delta0[None],
+        jnp.max(delta0[None, :, None] + prefix, axis=1)], axis=0)  # (F, K+1)
 
-    last = jnp.argmax(deltaT)
+    # reverse associative_scan composes in REVERSED operand order
+    # (scan-of-reversed-sequence), which matters for the non-commutative
+    # max-plus product: feed TRANSPOSED matrices so the reversed-order
+    # product of transposes equals the transpose of the wanted suffix
+    # S[t] = m[t] (x) ... (x) m[F-2]; beta[t][i] = max_j S[t][i, j] is
+    # then the max over the transposed result's axis -2.
+    suffix_t = jax.lax.associative_scan(
+        combine, jnp.swapaxes(m, -1, -2), axis=0, reverse=True)
+    beta = jnp.concatenate([
+        jnp.max(suffix_t, axis=-2),
+        jnp.zeros((1, k + 1), dtype=s_all.dtype)], axis=0)         # (F, K+1)
 
-    def backstep(state, bp):
-        return bp[state], state
-
-    first, rest = jax.lax.scan(backstep, last, back, reverse=True)
-    path = jnp.concatenate([jnp.asarray([first]), rest])
+    path = jnp.argmax(delta + beta, axis=1)
     f0 = jnp.take_along_axis(f_all, path[:, None], axis=1)[:, 0]
     return jnp.where(valid, f0, 0.0)
 
@@ -169,8 +261,10 @@ def pitch_graph(y: jnp.ndarray, sr: float, dt: float,
         nfft *= 2
     n_frames, starts, _ = _frame_grid(n, sr, dt, wlen)
 
+    hop_f = dt * sr
+    hop_i = int(round(hop_f)) if abs(hop_f - round(hop_f)) < 1e-6 else 0
     freqs, strengths, local_peak = _candidates(
-        y, float(sr), wlen, nfft, cfg, jnp.asarray(starts))
+        y, float(sr), wlen, nfft, cfg, jnp.asarray(starts), hop_i)
 
     global_peak = jnp.maximum(jnp.max(jnp.abs(y)), 1e-12)
     intensity = local_peak / global_peak
@@ -213,8 +307,10 @@ def pitch_graph_bucketed(y_pad: jnp.ndarray, sr: float, dt: float,
     starts = jnp.asarray(starts)
     f_pad = starts.shape[0]
 
+    hop_f = dt * sr
+    hop_i = int(round(hop_f)) if abs(hop_f - round(hop_f)) < 1e-6 else 0
     freqs, strengths, local_peak = _candidates(
-        y, float(sr), wlen, nfft, cfg, starts)
+        y, float(sr), wlen, nfft, cfg, starts, hop_i, nf_true)
 
     global_peak = jnp.maximum(jnp.max(jnp.abs(y)), 1e-12)
     intensity = local_peak / global_peak

@@ -51,12 +51,31 @@ def pad_trim_to_len(x, length: int) -> np.ndarray:
     return x[:length]
 
 
+def _savez_fast(fobj, **arrays) -> None:
+    """npz writer at deflate level 1: np.savez_compressed hardwires
+    zlib level 6, which cost ~14 ms per .goofy on this image's single
+    host core — half the warm folder-extraction wall clock at
+    voicebank scale.  Level 1 compresses these f16 payloads to within
+    ~2% of the level-6 size at half the time; the output is a standard
+    npz (np.load reads it unchanged, upstream included)."""
+    import io
+    import zipfile
+
+    with zipfile.ZipFile(fobj, "w", zipfile.ZIP_DEFLATED,
+                         compresslevel=1) as z:
+        for name, arr in arrays.items():
+            b = io.BytesIO()
+            np.lib.format.write_array(b, np.asarray(arr),
+                                      allow_pickle=True)
+            z.writestr(name + ".npy", b.getvalue())
+
+
 def save_features(path, features, f0_interp, voicing_mask, formants, sr,
                   y_len) -> None:
     """Write a .goofy bundle (ref: GOOFER.py:287-317)."""
     with open(path, "wb") as f:
         if isinstance(features, dict) and features.get("mode") == "knots":
-            np.savez_compressed(
+            _savez_fast(
                 f,
                 mode=np.array(["knots"]),
                 knot_vals_log=np.asarray(features["knot_vals_log"],
@@ -74,7 +93,7 @@ def save_features(path, features, f0_interp, voicing_mask, formants, sr,
             )
         else:
             env_spec = np.asarray(features, dtype=STORAGE_DTYPE)
-            np.savez_compressed(
+            _savez_fast(
                 f,
                 mode=np.array(["full"]),
                 env_spec=env_spec,

@@ -489,3 +489,116 @@ def test_real_voice_extraction_sane():
     assert 900.0 < med[2] < 2500.0, med
     assert 1800.0 < med[3] < 3500.0, med
     assert med[1] < med[2] < med[3]
+
+
+def _viterbi_np(freqs, strengths, unvoiced_strength, cfg, dt_ratio):
+    """Sequential reference Viterbi (the pre-parallel-prefix algorithm,
+    restated in NumPy): forward max-sum with backtrace."""
+    k = freqs.shape[1]
+    s_all = np.concatenate([strengths, unvoiced_strength[:, None]], axis=1)
+    f_all = np.concatenate([freqs, np.zeros_like(freqs[:, :1])], axis=1)
+    nf = s_all.shape[0]
+    vu = np.float32(cfg.voiced_unvoiced_cost * dt_ratio)
+    oj = np.float32(cfg.octave_jump_cost * dt_ratio)
+
+    def cost(fp, fn_):
+        pv = fp > 0
+        nv = fn_ > 0
+        jump = oj * np.abs(np.log2(np.maximum(fp, 1e-6)
+                                   / np.maximum(fn_, 1e-6)))
+        return np.where(pv & nv, jump, np.where(pv ^ nv, vu, 0.0))
+
+    delta = s_all[0].astype(np.float32)
+    back = np.zeros((nf, k + 1), dtype=np.int64)
+    for t in range(1, nf):
+        c = cost(f_all[t - 1][:, None], f_all[t][None, :]).astype(np.float32)
+        scores = delta[:, None] - c
+        back[t] = np.argmax(scores, axis=0)
+        delta = (s_all[t] + np.max(scores, axis=0)).astype(np.float32)
+    path = np.zeros(nf, dtype=np.int64)
+    path[-1] = int(np.argmax(delta))
+    for t in range(nf - 1, 0, -1):
+        path[t - 1] = back[t][path[t]]
+    return f_all[np.arange(nf), path]
+
+
+def test_viterbi_parallel_matches_sequential():
+    """The parallel-prefix Viterbi (max-plus associative scan +
+    marginal decode) picks the same path as the classic sequential
+    solve away from exact float ties, across signal classes that stress
+    different transition structure."""
+    from goofer_tpu.analysis.pitch import (
+        PitchConfig,
+        _candidates,
+        _viterbi,
+        pitch_window_len,
+        _frame_grid,
+    )
+
+    cfg = PitchConfig()
+    rng = np.random.default_rng(5)
+    t = np.arange(int(0.7 * SR)) / SR
+    signals = [
+        _sawtooth(180.0 * 2 ** (0.5 * t / 0.7), 0.7),            # glide
+        _sawtooth(220.0 * 2 ** (np.sin(2 * np.pi * 5.5 * t) / 12), 0.7),
+        (_sawtooth(150.0, 0.7)
+         + 0.25 * rng.standard_normal(len(t)).astype(np.float32)),
+        np.concatenate([np.zeros(len(t) // 3, np.float32),
+                        _sawtooth(110.0, 0.7)[len(t) // 3:]]),   # onset
+    ]
+    for y in signals:
+        n = len(y)
+        wlen = min(pitch_window_len(SR, cfg), max(16, n))
+        nfft = 1
+        while nfft < 2 * wlen:
+            nfft *= 2
+        nf, starts, _ = _frame_grid(n, SR, 256 / SR, wlen)
+        freqs, strengths, local_peak = _candidates(
+            jnp.asarray(y), float(SR), wlen, nfft, cfg,
+            jnp.asarray(starts), 256)
+        gp = max(float(np.max(np.abs(y))), 1e-12)
+        uv = cfg.voicing_threshold + np.maximum(
+            0.0, 2.0 - (np.asarray(local_peak) / gp
+                        * (1.0 + cfg.voicing_threshold)
+                        / cfg.silence_threshold))
+        dt_ratio = np.float32((256 / SR) / 0.01)
+        f0_par = np.asarray(_viterbi(freqs, strengths, jnp.asarray(
+            uv, dtype=jnp.float32), cfg, dt_ratio))
+        f0_seq = _viterbi_np(np.asarray(freqs), np.asarray(strengths),
+                             np.asarray(uv, dtype=np.float32), cfg,
+                             float(dt_ratio))
+        agree = np.mean(f0_par == f0_seq)
+        assert agree >= 0.98, agree
+
+
+def test_strided_frames_bitexact_vs_gather():
+    """The hop-block strided framing (+ clamped-row fixups) that
+    replaced the TPU-hostile row gather must reproduce the gathered
+    frames bit-for-bit — including clamped head/tail rows, tiny signals
+    where every row is clamped, and bucket padding past nf."""
+    from goofer_tpu.analysis.pitch import (
+        PitchConfig,
+        _frame_grid,
+        _frames_praat,
+        pitch_window_len,
+    )
+
+    cfg = PitchConfig()
+    rng = np.random.default_rng(11)
+    for sr, dur in [(44100, 0.7), (44100, 0.09), (48000, 0.45),
+                    (22050, 0.3), (44100, 0.041)]:
+        hop = 256
+        n = int(dur * sr)
+        y = rng.standard_normal(n).astype(np.float32)
+        wlen = min(pitch_window_len(sr, cfg), max(16, n))
+        nf, starts, _ = _frame_grid(n, sr, hop / sr, wlen)
+        # bucket-padded variant: starts repeated past nf, zero-padded y
+        f_pad = nf + 7
+        starts_p = np.concatenate([starts,
+                                   np.full(7, starts[-1])]).astype(np.int32)
+        y_pad = np.concatenate([y, np.zeros(4 * hop, np.float32)])
+        got = np.asarray(_frames_praat(
+            jnp.asarray(y_pad), jnp.asarray(starts_p), nf, wlen, hop))
+        want = y_pad[starts_p[:, None] + np.arange(wlen)[None, :]]
+        # rows past nf are junk by contract; true rows must be bitexact
+        assert np.array_equal(got[:nf], want[:nf]), (sr, dur)

@@ -113,20 +113,39 @@ def _ulp_equal_f32(a, b, maxulp=2):
         return False
 
 
+def _f0_storage_equal(f0_d, f0_l, max_flips=4):
+    """f0 parity at the .goofy STORAGE precision: the lean path ships
+    frame-rate f0 and interpolates per-sample on the host (VERDICT r3
+    item 6 — the per-sample f32 vector was most of the fetch bytes);
+    host np vs device XLA lerp differ by last-bit f32 rounding, which
+    the f16 storage cast absorbs except for values sitting exactly on a
+    rounding boundary (allow a few single-ulp flips)."""
+    a = np.asarray(f0_d, dtype=np.float16)
+    b = np.asarray(f0_l, dtype=np.float16)
+    diff = a != b
+    if np.sum(diff) > max_flips:
+        return False
+    if np.any(diff):
+        ulp = np.spacing(np.maximum(np.abs(a[diff]), np.abs(b[diff])))
+        if np.any(np.abs(a[diff].astype(np.float32)
+                         - b[diff].astype(np.float32)) > ulp + 1e-12):
+            return False
+    return True
+
+
 def test_lean_extraction_identical():
-    """dense=False (device-side knot pick + f16/u8 bitcast-packed fetch,
-    VERDICT r2 item 4) yields the dense path's .goofy payload: knots,
-    mask and formants exactly; f0 within 1-2 f32 ulp (the lean graph is
-    a DIFFERENT XLA program, so fusion may reassociate a lerp into an
-    fma — same arithmetic, last-bit rounding)."""
+    """dense=False (device-side knot pick + f16 bitcast-packed fetch,
+    VERDICT r2 item 4; frame-rate f0 + host interp, VERDICT r3 item 6)
+    yields the dense path's .goofy payload: knots, mask and formants
+    exactly; f0 identical at the f16 storage precision."""
     y = _tone(0.47, 210, seed=3)
     env_d, f0_d, m_d, forms_d, kn_d = F.extract_features(y, SR)
     env_l, f0_l, m_l, forms_l, kn_l = F.extract_features(y, SR,
                                                          dense=False)
     assert env_l is None
-    assert _ulp_equal_f32(f0_d, f0_l)
-    # mask is thresholded f0 > f0_min: a 1-ulp wobble can only flip a
-    # sample sitting exactly on the 75 Hz threshold
+    assert _f0_storage_equal(f0_d, f0_l)
+    # mask is thresholded f0 > f0_min: a last-bit wobble can only flip
+    # a sample sitting exactly on the 75 Hz threshold
     assert np.sum(m_d != m_l) <= 2
     assert np.abs(kn_d["knot_vals_log"].astype(np.float32)
                   - kn_l["knot_vals_log"].astype(np.float32)).max() \
@@ -144,7 +163,7 @@ def test_lean_batch_matches_dense_batch():
     rb_l = F.extract_features_batch(ys, SR, dense=False)
     for d, l in zip(rb_d, rb_l):
         assert l[0] is None
-        assert _ulp_equal_f32(d[1], l[1])
+        assert _f0_storage_equal(d[1], l[1])
         assert np.sum(d[2] != l[2]) <= 2
         assert np.abs(d[4]["knot_vals_log"].astype(np.float32)
                       - l[4]["knot_vals_log"].astype(np.float32)).max() \

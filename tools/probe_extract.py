@@ -58,3 +58,26 @@ dt = time.perf_counter() - t0
 total = sum((0.6, 0.8, 1.1, 1.5))
 print(f"folder extract 4 files warm: {dt:.2f}s "
       f"({total / dt:.0f}x realtime)", flush=True)
+
+# voicebank scale: 64 files across a few length buckets, 16-file chunks
+# (the production folder-extraction shape; VERDICT r3 item 6 target:
+# >=100x realtime warm)
+durs = [0.6, 0.8, 1.1, 1.5, 2.0, 2.4] * 11  # 66 files
+vb = os.path.join(tmp, "vb")
+os.makedirs(vb, exist_ok=True)
+for i, d in enumerate(durs):
+    _make_voicebank_sample(os.path.join(vb, f"f{i:03d}.wav"), sr, dur=d)
+
+t0 = time.perf_counter()
+n_done = extract_features_recursive(vb, n_fft=1024, hop=256)
+print(f"voicebank extract {n_done} files (cold buckets): "
+      f"{time.perf_counter() - t0:.1f}s", flush=True)
+for f in os.listdir(vb):
+    if f.endswith(".goofy"):
+        os.remove(os.path.join(vb, f))
+t0 = time.perf_counter()
+n_done = extract_features_recursive(vb, n_fft=1024, hop=256)
+dt = time.perf_counter() - t0
+total = sum(durs)
+print(f"voicebank extract {n_done} files warm: {dt:.2f}s "
+      f"({total / dt:.0f}x realtime, {total:.1f}s audio)", flush=True)
