@@ -263,7 +263,7 @@ def _analysis_graph(n: int, sr: int, n_fft: int, hop: int, f0_min: float,
 def _analysis_graph_bucketed(n_pad: int, sr: int, n_fft: int, hop: int,
                              f0_min: float, f0_merge_range: int,
                              with_formants: bool, pf_pad: int, ff_pad: int,
-                             lean: bool = False):
+                             lean: bool = False, mesh=None):
     """Bucket-padded, vmapped analysis graph: one compile serves every
     file whose length rounds up to ``n_pad`` (SURVEY §7 / an earlier perf-review
     item 4).  Waveforms carry trailing zeros; the pitch/formant frame
@@ -349,7 +349,20 @@ def _analysis_graph_bucketed(n_pad: int, sr: int, n_fft: int, hop: int,
         jax.ShapeDtypeStruct((ff_pad,), jnp.int32),
         jax.ShapeDtypeStruct((), jnp.int32),
     ))
-    return jax.jit(jax.vmap(packed)), k_values, shapes, splits
+    vm = jax.vmap(packed)
+    if mesh is None:
+        return jax.jit(vm), k_values, shapes, splits
+    # shard_map, not GSPMD-from-input-shardings: the SPMD partitioner
+    # cannot partition the fft custom-call's batch dim and would
+    # all-gather + replicate every file's FFT work on every device
+    # (see sampler/phrase.py:_batched_core).  All six inputs are
+    # per-file, so everything shards on dim 0 over every mesh axis.
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(mesh.axis_names)
+    fn = jax.jit(jax.shard_map(vm, mesh=mesh, in_specs=(spec,) * 6,
+                               out_specs=spec, check_vma=False))
+    return fn, k_values, shapes, splits
 
 
 def extract_features(y, sr: int, n_fft: int = 1024, hop_length: int = 256,
@@ -469,7 +482,7 @@ def extract_features_batch(ys, sr: int, n_fft: int = 1024,
         graph, k_values, shapes, splits = _analysis_graph_bucketed(
             n_pad, int(sr), n_fft, hop_length, float(f0_min),
             int(f0_merge_range), bool(with_formants), pf_pad, ff_pad,
-            lean=not dense)
+            lean=not dense, mesh=mesh)
         for c0 in range(0, len(group), chunk):
             part = group[c0:c0 + chunk]
             b_pad = config.bucket_batch(min(chunk, len(part)))
@@ -511,10 +524,9 @@ def extract_features_batch(ys, sr: int, n_fft: int = 1024,
                     return jax.device_put(jnp.asarray(x),
                                           NamedSharding(mesh, spec))
 
-                with mesh:
-                    flat_dev = graph(
-                        put(yb), put(n_true), put(p_starts), put(p_nf),
-                        put(f_starts), put(f_nf))
+                flat_dev = graph(
+                    put(yb), put(n_true), put(p_starts), put(p_nf),
+                    put(f_starts), put(f_nf))
             pending.append((flat_dev, part, p_nf, ff_true, k_values,
                             shapes, splits))
 

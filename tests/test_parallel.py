@@ -215,3 +215,37 @@ def test_extraction_sharded_matches_single():
             k_s["knot_vals_log"].astype(np.float32),
             k_r["knot_vals_log"].astype(np.float32), atol=2e-2)
         assert k_s["knot_vals_log"].shape == k_r["knot_vals_log"].shape
+
+
+@pytest.mark.slow
+def test_sharded_graphs_compile_with_no_collectives():
+    """The data-parallel graphs must stay collective-free under the mesh.
+
+    Regression lock for a real partitioning bug: GSPMD-from-input-
+    shardings cannot partition the fft custom-call's batch dimension, so
+    it silently all-gathered the note batch and every device computed
+    EVERY note's FFTs (12 all-gathers; dp=8 at 0.44-0.60x the dp=1
+    throughput).  The shard_map formulation runs per-shard programs
+    locally; its compiled HLO must contain FFTs but no cross-device
+    collectives."""
+    from goofer_tpu.analysis.features import _analysis_graph_bucketed
+
+    mesh = make_mesh(8, tp=2)
+    n_pad, hop = 8192, 256
+    pf_pad = ff_pad = n_pad // hop + 2
+    graph, _, _, _ = _analysis_graph_bucketed(
+        n_pad, SR, 1024, hop, 75.0, 2, True, pf_pad, ff_pad,
+        lean=True, mesh=mesh)
+    lowered = graph.lower(
+        jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+        jax.ShapeDtypeStruct((8,), jnp.float32),
+        jax.ShapeDtypeStruct((8, pf_pad), jnp.int32),
+        jax.ShapeDtypeStruct((8,), jnp.int32),
+        jax.ShapeDtypeStruct((8, ff_pad), jnp.int32),
+        jax.ShapeDtypeStruct((8,), jnp.int32),
+    )
+    txt = lowered.compile().as_text()
+    assert "fft" in txt
+    for op in ("all-gather", "all-reduce", "collective-permute",
+               "all-to-all", "reduce-scatter"):
+        assert op not in txt, f"unexpected {op} in sharded analysis HLO"
