@@ -102,6 +102,50 @@ def _device_watchdog(timeout_s: float = 600.0) -> None:
     _log(f"devices: {info[0]}")
 
 
+# Fixed reference tunnel bandwidth for the normalized metric: transfer
+# time is re-priced at this constant so the number is comparable across
+# runs/rounds regardless of the axon tunnel's mood that day (measured
+# range on this image: 6-34 MB/s; see BASELINE.md).
+REF_TUNNEL_MBPS = 25.0
+
+
+def _make_calibrator():
+    """Fixed-work tunnel probe: a constant-FLOPs jitted graph (measures
+    dispatch RTT + device exec) and a constant 2 MB device->host fetch
+    (measures tunnel bandwidth).  Interleaved between bench reps so
+    every bench artifact records the tunnel state it was measured
+    under (VERDICT r3 item 3)."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.arange(1 << 22, dtype=jnp.float32)       # 16 MB resident
+
+    @jax.jit
+    def probe(v):
+        for _ in range(8):
+            v = jnp.sin(v) * 1.0001 + 0.1
+        return v
+
+    probe(x).block_until_ready()
+
+    def calibrate():
+        t0 = time.perf_counter()
+        r = probe(x)
+        r.block_until_ready()
+        c = time.perf_counter() - t0
+        # a FRESH 2 MB slice every call: jax.Array memoizes its host copy
+        # after the first np.asarray, which would turn repeat fetches into
+        # host memcpys and report GB/s instead of tunnel bandwidth
+        buf = r[: 1 << 19]
+        buf.block_until_ready()
+        t0 = time.perf_counter()
+        np.asarray(buf)
+        f = time.perf_counter() - t0
+        return c, (1 << 21) / 1e6 / f                # (s, MB/s)
+
+    return calibrate
+
+
 def main():
     _setup_cache()
     _device_watchdog()
@@ -131,8 +175,10 @@ def main():
     _log("warmup: phrase render (compiles the fused render graphs)")
     render_phrase(notes, pcm16=True)
     _log("warmup done; timing reps")
+    calibrate = _make_calibrator()
 
     rtfs = []
+    calib_c, calib_f = [], []
     for rep in range(6):
         t0 = time.perf_counter()
         outs = render_phrase(notes, pcm16=True)
@@ -142,8 +188,12 @@ def main():
         rtf = total_audio_sec / elapsed
         if rep > 0:                  # rep 0 settles post-compile stragglers
             rtfs.append(rtf)
+        c, f = calibrate()           # tunnel state alongside every rep
+        calib_c.append(c)
+        calib_f.append(f)
         _log(f"rep {rep}: {elapsed:.3f}s for {total_audio_sec:.1f}s audio "
-             f"-> {rtf:.1f}x realtime")
+             f"-> {rtf:.1f}x realtime  [calib exec {c * 1e3:.0f} ms, "
+             f"d2h {f:.1f} MB/s]")
     # best-of-5 steady state: device->host tunnel bandwidth jitter is
     # strictly additive noise, so the fastest rep is the honest throughput
     print(json.dumps({
@@ -153,6 +203,43 @@ def main():
         "vs_baseline": round(max(rtfs) / 100.0, 3),
     }), flush=True)
     _log(f"reps (x realtime): {[round(r, 1) for r in rtfs]}")
+
+    # compute+dispatch only (fetch=False blocks on device completion but
+    # skips the d2h copy): the tunnel-insensitive half of the pipeline
+    comp = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        render_phrase(notes, pcm16=True, fetch=False)
+        comp.append(time.perf_counter() - t0)
+    comp_best = min(comp)
+    _log(f"compute-only reps: {[round(c, 3) for c in comp]}s "
+         f"-> best {total_audio_sec / comp_best:.1f}x realtime")
+    print(json.dumps({
+        "metric": "realtime_factor_60s_phrase_compute_only",
+        "value": round(total_audio_sec / comp_best, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(total_audio_sec / comp_best / 100.0, 3),
+    }), flush=True)
+
+    # tunnel-normalized end-to-end (VERDICT r3 item 3): compute-only time
+    # plus the output payload re-priced at a FIXED reference bandwidth,
+    # so the number is comparable across runs regardless of tunnel mood.
+    payload_mb = sum(len(o) * 2 for o in outs) / 1e6
+    norm_s = comp_best + payload_mb / REF_TUNNEL_MBPS
+    med_c = float(np.median(calib_c))
+    med_f = float(np.median(calib_f))
+    _log(f"tunnel calib: exec median {med_c * 1e3:.0f} ms, d2h median "
+         f"{med_f:.1f} MB/s; payload {payload_mb:.1f} MB; normalized "
+         f"{total_audio_sec / norm_s:.1f}x")
+    print(json.dumps({
+        "metric": "realtime_factor_60s_phrase_tunnel_normalized",
+        "value": round(total_audio_sec / norm_s, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(total_audio_sec / norm_s / 100.0, 3),
+        "calib_exec_ms": round(med_c * 1e3, 1),
+        "calib_d2h_MBps": round(med_f, 1),
+        "ref_tunnel_MBps": REF_TUNNEL_MBPS,
+    }), flush=True)
 
     # second metric: the same 60 s scale with every note carrying the
     # 11-flag stack (texture + layers + tension + fry + dynamics — the
