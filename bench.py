@@ -170,11 +170,13 @@ def main():
     total_audio_sec = sum(
         (n.consonant + n.length) / 1000.0 for n in notes)  # ~60.0 s
 
+    t_warm = time.perf_counter()
     _log("warmup: feature extraction (compiles the analysis graph)")
     plan_phrase(notes[:1])
     _log("warmup: phrase render (compiles the fused render graphs)")
     render_phrase(notes, pcm16=True)
-    _log("warmup done; timing reps")
+    warmup_s = time.perf_counter() - t_warm
+    _log(f"warmup done in {warmup_s:.1f}s; timing reps")
     calibrate = _make_calibrator()
 
     rtfs = []
@@ -203,6 +205,19 @@ def main():
         "vs_baseline": round(max(rtfs) / 100.0, 3),
     }), flush=True)
     _log(f"reps (x realtime): {[round(r, 1) for r in rtfs]}")
+
+    # first-run story (VERDICT r3 item 2): extraction + first phrase
+    # render on THIS process.  With the shipped seed (tools/seed_cache.py
+    # --bench populates the persistent XLA cache + the AOT StableHLO
+    # store) this is executable loads, not compiles — target <60 s vs the
+    # ~8.5 min of cold compiles BENCH_r03 paid.  vs_baseline >1 means the
+    # target is met.
+    print(json.dumps({
+        "metric": "warm_start_to_first_phrase",
+        "value": round(warmup_s, 1),
+        "unit": "s",
+        "vs_baseline": round(60.0 / warmup_s, 3),
+    }), flush=True)
 
     # compute+dispatch only (fetch=False blocks on device completion but
     # skips the d2h copy): the tunnel-insensitive half of the pipeline

@@ -256,7 +256,12 @@ def _analysis_graph(n: int, sr: int, n_fft: int, hop: int, f0_min: float,
     pack = _packed_mixed if lean else _packed
     packed, shapes, splits = pack(
         graph, (jax.ShapeDtypeStruct((n,), jnp.float32),))
-    return jax.jit(packed), k_values, shapes, splits
+    from goofer_tpu.utils import aot
+
+    cfg = (f"{n}|{sr}|{n_fft}|{hop}|{f0_min}|{f0_merge_range}|"
+           f"{with_formants}|{lean}")
+    return aot.wrap("analysis", cfg, jax.jit(packed)), \
+        k_values, shapes, splits
 
 
 @functools.lru_cache(maxsize=32)
@@ -351,7 +356,12 @@ def _analysis_graph_bucketed(n_pad: int, sr: int, n_fft: int, hop: int,
     ))
     vm = jax.vmap(packed)
     if mesh is None:
-        return jax.jit(vm), k_values, shapes, splits
+        from goofer_tpu.utils import aot
+
+        cfg = (f"{n_pad}|{sr}|{n_fft}|{hop}|{f0_min}|{f0_merge_range}|"
+               f"{with_formants}|{pf_pad}|{ff_pad}|{lean}")
+        return aot.wrap("analysis_b", cfg, jax.jit(vm)), \
+            k_values, shapes, splits
     # shard_map, not GSPMD-from-input-shardings: the SPMD partitioner
     # cannot partition the fft custom-call's batch dim and would
     # all-gather + replicate every file's FFT work on every device

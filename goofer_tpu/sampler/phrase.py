@@ -112,7 +112,13 @@ def _batched_core(rs, axes: tuple, pcm16: bool = False, mesh=None):
         # C++ jit cache.
         vm = jax.vmap(core, in_axes=axes + (0, 0))
         if mesh is None:
-            fn = jax.jit(vm)
+            # AOT store (utils/aot.py): a fresh process deserializes the
+            # exported StableHLO instead of re-tracing the ~72k-primitive
+            # jaxpr (docs/PERFORMANCE.md "warm-process start").
+            from goofer_tpu.utils import aot
+
+            fn = aot.wrap("phrase", f"{rs!r}|{axes}|{pcm16}",
+                          jax.jit(vm))
         else:
             from jax.sharding import PartitionSpec as P
 

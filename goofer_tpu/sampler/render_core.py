@@ -21,6 +21,7 @@ the phrase renderer its bucket batching.
 """
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass
 from functools import partial
 
@@ -572,17 +573,35 @@ def render_note_core(rs: RenderStatic,
     return out
 
 
-_render_note_jit = partial(jax.jit, static_argnums=(0,))(render_note_core)
+# per-RenderStatic AOT-wrapped dispatches (utils/aot.py): fresh
+# processes deserialize the exported StableHLO instead of re-tracing
+# the note graph.  Bounded by the same budget sweep as the executables.
+_note_fn_cache: dict = {}
+_note_fn_lock = threading.Lock()
+
+
+def _note_fn(rs: RenderStatic):
+    with _note_fn_lock:
+        fn = _note_fn_cache.get(rs)
+    if fn is None:
+        from goofer_tpu.utils import aot
+
+        fn = aot.wrap("note", repr(rs),
+                      jax.jit(partial(render_note_core, rs)))
+        with _note_fn_lock:
+            fn = _note_fn_cache.setdefault(rs, fn)
+    return fn
 
 
 def clear_compiled_render_graphs() -> None:
     """Drop every compiled single-note executable (specialized AND
-    universal) pinned by the shared jit wrapper.  Used by the server's
+    universal) pinned by the jit wrappers.  Used by the server's
     graph-budget sweep (resampler._sweep_graph_budget): jax keeps one
     executable per (static, shapes) signature with no eviction of its
     own, so a long session's working set is bounded by periodically
     clearing and re-warming the universal ladder."""
-    _render_note_jit.clear_cache()
+    with _note_fn_lock:
+        _note_fn_cache.clear()
 
 
 # ---------------------------------------------------------------------------
@@ -655,8 +674,8 @@ def render_note(rs: RenderStatic, arrays: dict, scalars: dict, key):
     full = default_scalars()
     full.update(scalars)
     sc = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in full.items()}
-    return _render_note_jit(
-        rs, arrays["env_cut"], arrays["f0_cut"], arrays["mask_cut"],
+    return _note_fn(rs)(
+        arrays["env_cut"], arrays["f0_cut"], arrays["mask_cut"],
         arrays["env_pos0"], arrays["env_pos1"], arrays["env_w"],
         arrays["vel_env_pos"],
         arrays["tracks"], arrays["tracks_raw"], arrays["pitch_ticks"],

@@ -9,6 +9,12 @@ host-device-count flag works from here.
 """
 import os
 
+# AOT exported-module store (utils/aot.py) off by default under test:
+# its digest keys on the release VERSION, not the source, so a blob
+# written by an edited working tree would serve stale graph semantics
+# to later test runs.  tests/test_aot.py opts back in with a tmp store.
+os.environ.setdefault("GOOFER_TPU_AOT", "0")
+
 if os.environ.get("GOOFER_TPU_TEST_PLATFORM") != "tpu":
     # default: virtual 8-CPU mesh.  Set GOOFER_TPU_TEST_PLATFORM=tpu to
     # keep the real chip (for the TPU-gated smoke tests, e.g.
