@@ -37,6 +37,35 @@ if os.environ.get("GOOFER_TPU_TEST_PLATFORM") != "tpu":
     # lost.  The master switch survives cli._setup_compile_cache, which
     # only sets the cache dir.
     jax.config.update("jax_enable_compilation_cache", False)
+
+    # XLA:CPU segfaults inside backend_compile when a large render graph
+    # is compiled after enough jit/LLVM state has accumulated in one
+    # process (~200+ tests; first seen at test_universal, then at
+    # test_resampler as the suite grew — the same compiles succeed in a
+    # fresh process and MALLOC_CHECK_ sees no heap corruption, so the
+    # trigger is accumulated compiler state, not this repo's code).
+    # Bound the accumulation: at each module boundary, if enough tests
+    # have run since the last reset, drop JAX's caches.  Threshold well
+    # under the ~180-test crash horizon; clearing costs only the few
+    # cross-module graph recompiles (CPU compiles are fast).
+    import gc
+
+    import pytest
+
+    _tests_since_clear = {"n": 0}
+
+    @pytest.fixture(autouse=True)
+    def _count_tests_for_compiler_reset():
+        yield
+        _tests_since_clear["n"] += 1
+
+    @pytest.fixture(scope="module", autouse=True)
+    def _bounded_compiler_state():
+        if _tests_since_clear["n"] >= 80:
+            jax.clear_caches()
+            gc.collect()
+            _tests_since_clear["n"] = 0
+        yield
 else:
     import jax
 

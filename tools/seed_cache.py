@@ -16,6 +16,11 @@ What gets seeded (superset of the server's background warmup):
 - the universal fallback ladder: WARM_NOTE_SECONDS x WARM_SAMPLE_RATES
 - with --bench: the phrase-renderer graphs bench.py dispatches
 
+Because this runs with the AOT store enabled (utils/aot.py, default on),
+it also writes each graph's exported StableHLO blob, so later processes
+skip Python tracing as well as compilation — the full warm-process story
+(docs/PERFORMANCE.md "warm-process start").
+
 Cache relocatability: entries are keyed on (serialized HLO, XLA backend
 version, compile flags, device kind) — they hit on any machine running
 the same jaxlib + runtime against the same device kind, so a cache
