@@ -66,7 +66,8 @@ PULSE_FALLBACK_F0 = 160.0
 # HTTP server port for the resampler server mode (ref: SillySampler.py:1220).
 SERVER_PORT = 8572
 
-VERSION = "0.1.0"
+VERSION = "0.1.1"  # bump on ANY traced-graph change: the AOT blob store
+                   # (utils/aot.py) keys on this, not on source text
 # Version string of the reference CLI surface we reproduce
 # (ref: SillySampler.py:1226).
 REFERENCE_CLI_VERSION = "v2.6.1"

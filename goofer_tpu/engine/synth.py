@@ -87,6 +87,14 @@ class SynthStatic:
     # seed-to-seed realization floor measured in tests/test_golden.py),
     # and exactly zero under P0 (normalize=0, gain=1).
     need_noise: bool = True
+    # False skips the unvoiced stem's iSTFT and gating while keeping the
+    # breath stem.  For the sa aperiodic layer (SillySampler.py:1153-1172):
+    # it synthesizes with an all-ones mask, and upstream gates uv by
+    # (1 - smooth(mask)) (GOOFER.py:1179-1183) — smoothing all-ones is
+    # exactly ones (reflect padding), so the uv stem is structurally ZERO
+    # there.  Unlike need_noise=False this is exact: the skipped stem
+    # contributes 0 to the normalization peak too.
+    need_uv: bool = True
     roughness_on: bool = False
     rough_k_list: tuple = (2, 3, 4)
     rough_h_list: tuple | None = None
@@ -279,12 +287,16 @@ def _synth_body(st: SynthStatic, env_spec, f0_interp, voicing_mask,
             S_breath = jnp.where(voiced_cols, S_bv, S_breath)
 
         aper_breath = istft(S_breath, hop, length=n)
-        aper_uv_raw = istft(S_uv, hop, length=n)
 
         mask_smooth = smooth_mask_downsampled(
             mask, sigma=st.noise_transition_smoothness, ds=4)
         aper_bre = aper_breath * mask_smooth * knobs["breath_strength"]
-        aper_uv = aper_uv_raw * (1.0 - mask_smooth) * knobs["uv_strength"]
+        if st.need_uv:
+            aper_uv_raw = istft(S_uv, hop, length=n)
+            aper_uv = aper_uv_raw * (1.0 - mask_smooth) \
+                * knobs["uv_strength"]
+        else:
+            aper_uv = jnp.zeros_like(harmonic)
     else:
         aper_bre = jnp.zeros_like(harmonic)
         aper_uv = jnp.zeros_like(harmonic)

@@ -553,6 +553,9 @@ def render_note_core(rs: RenderStatic,
             max_overlap=rs.max_overlap,
             pulse_min_spacing=rs.min_spacing,
             masked=rs.masked,
+            # all-ones mask ⇒ the uv stem is gated to zero upstream
+            # (GOOFER.py:1179-1183); skip its iSTFT (SynthStatic.need_uv)
+            need_uv=False,
         )
         ap_knobs = dict(layer_knobs)
         ap_knobs["uv_strength"] = jnp.float32(1.0)
