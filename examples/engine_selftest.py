@@ -5,8 +5,11 @@ GOOFER.py:1222-1330) and of its test.py benchmark script: analyse a WAV,
 resynthesize it, print wall-clock timings (compile/warmup excluded like
 the reference's Numba warmup), and write the four stems next to the input.
 
-Usage:  python examples/engine_selftest.py [input.wav]
+Usage:  python examples/engine_selftest.py [input.wav] [--dump-features]
 Without an argument a synthetic test tone is generated first.
+``--dump-features`` additionally writes the fp16 compressed feature NPZ
+with the reference's keys (ref: GOOFER.py:1306-1321, the ``save_feature``
+toggle — disabled by default upstream too).
 """
 from __future__ import annotations
 
@@ -38,7 +41,9 @@ def _ensure_input(path: str) -> str:
 
 
 def main():
-    input_file = sys.argv[1] if len(sys.argv) > 1 else "_input.wav"
+    argv = [a for a in sys.argv[1:] if a != "--dump-features"]
+    dump_features = "--dump-features" in sys.argv[1:]
+    input_file = argv[0] if argv else "_input.wav"
     input_file = _ensure_input(input_file)
     name = os.path.splitext(input_file)[0]
 
@@ -70,6 +75,20 @@ def main():
         out = f"{name}_{tag}.wav"
         write_wav(out, stem, sr)
     print(f"Reconstructed audio saved: {name}_reconstruct.wav")
+
+    if dump_features:
+        # fp16 compressed feature dump, key-for-key with the reference's
+        # save_feature block (ref: GOOFER.py:1306-1321)
+        np.savez_compressed(
+            f"{name}_features.npz",
+            env_spec=np.asarray(env, dtype=np.float16),
+            f0_interp=np.asarray(f0i, dtype=np.float16),
+            voicing_mask=np.asarray(vmask, dtype=np.float16),
+            formants=forms,
+            sr=np.array([sr]),
+            y_len=np.array([len(y)]),
+        )
+        print(f"Saved feature set: {name}_features.npz")
 
 
 if __name__ == "__main__":

@@ -18,6 +18,7 @@ the adaptive K (11 scalars) and gathers the chosen knot rows.
 from __future__ import annotations
 
 import functools
+from collections import deque
 
 import jax
 import jax.numpy as jnp
@@ -480,75 +481,81 @@ def extract_features_batch(ys, sr: int, n_fft: int = 1024,
     for n_pad, i, y in items:
         by_bucket.setdefault(n_pad, []).append((i, y))
 
-    # Phase 1: DISPATCH every chunk before fetching any (jit dispatch is
-    # async) — device execution of later chunks overlaps the host's
-    # fetch/unpack/save of earlier ones (VERDICT r3 item 6: the serial
-    # dispatch->fetch->process rhythm left the chip idle during host
-    # work at voicebank scale).
-    pending = []
-    for n_pad, group in sorted(by_bucket.items()):
-        pf_pad = n_pad // hop_length + 2
-        ff_pad = n_pad // hop_length + 2
-        graph, k_values, shapes, splits = _analysis_graph_bucketed(
-            n_pad, int(sr), n_fft, hop_length, float(f0_min),
-            int(f0_merge_range), bool(with_formants), pf_pad, ff_pad,
-            lean=not dense, mesh=mesh)
-        for c0 in range(0, len(group), chunk):
-            part = group[c0:c0 + chunk]
-            b_pad = config.bucket_batch(min(chunk, len(part)))
-            if mesh is not None and b_pad % mesh.size != 0:
-                b_pad = -(-b_pad // mesh.size) * mesh.size
-            rows = part + [part[-1]] * (b_pad - len(part))
+    # Chunks DISPATCH ahead of the fetch loop (jit dispatch is async) so
+    # device execution of later chunks overlaps the host's
+    # fetch/unpack/save of earlier ones (VERDICT r3 item 6) — but the
+    # pipeline is BOUNDED to a sliding window of in-flight chunks
+    # (ADVICE r4: dispatch-all kept every chunk's device result + async
+    # host copy resident at once, so memory scaled with folder size; the
+    # dense path carries ~10 MB of f32 env payload per 2 s file).  Lean
+    # payloads are ~100x smaller, so the lean window is wider.
+    max_inflight = 3 if dense else 32
 
-            yb = np.zeros((b_pad, n_pad), dtype=np.float32)
-            n_true = np.empty(b_pad, dtype=np.float32)
-            p_starts = np.zeros((b_pad, pf_pad), dtype=np.int32)
-            p_nf = np.empty(b_pad, dtype=np.int32)
-            f_starts = np.zeros((b_pad, ff_pad), dtype=np.int32)
-            f_nf = np.empty(b_pad, dtype=np.int32)
-            ff_true = np.empty(b_pad, dtype=np.int64)
-            for j, (idx, y) in enumerate(rows):
-                n = len(y)
-                yb[j, :n] = y
-                n_true[j] = n
-                wlen = min(pitch_window_len(sr, cfg), max(16, n))
-                nf, starts, _ = _frame_grid(n, sr, dt, wlen)
-                p_nf[j] = nf
-                p_starts[j, :nf] = starts
-                p_starts[j, nf:] = starts[-1]
-                fnf, fstarts, _, _ = formant_frame_grid(n, sr, dt)
-                ff_true[j] = fnf
-                f_nf[j] = fnf
-                f_starts[j, :fnf] = fstarts
-                f_starts[j, fnf:] = fstarts[-1]
+    def dispatches():
+        for n_pad, group in sorted(by_bucket.items()):
+            pf_pad = n_pad // hop_length + 2
+            ff_pad = n_pad // hop_length + 2
+            graph, k_values, shapes, splits = _analysis_graph_bucketed(
+                n_pad, int(sr), n_fft, hop_length, float(f0_min),
+                int(f0_merge_range), bool(with_formants), pf_pad, ff_pad,
+                lean=not dense, mesh=mesh)
+            for c0 in range(0, len(group), chunk):
+                part = group[c0:c0 + chunk]
+                b_pad = config.bucket_batch(min(chunk, len(part)))
+                if mesh is not None and b_pad % mesh.size != 0:
+                    b_pad = -(-b_pad // mesh.size) * mesh.size
+                rows = part + [part[-1]] * (b_pad - len(part))
 
-            if mesh is None:
-                flat_dev = graph(yb, n_true, p_starts, p_nf, f_starts,
-                                 f_nf)                    # async dispatch
-            else:
-                from jax.sharding import NamedSharding
-                from jax.sharding import PartitionSpec as P
+                yb = np.zeros((b_pad, n_pad), dtype=np.float32)
+                n_true = np.empty(b_pad, dtype=np.float32)
+                p_starts = np.zeros((b_pad, pf_pad), dtype=np.int32)
+                p_nf = np.empty(b_pad, dtype=np.int32)
+                f_starts = np.zeros((b_pad, ff_pad), dtype=np.int32)
+                f_nf = np.empty(b_pad, dtype=np.int32)
+                ff_true = np.empty(b_pad, dtype=np.int64)
+                for j, (idx, y) in enumerate(rows):
+                    n = len(y)
+                    yb[j, :n] = y
+                    n_true[j] = n
+                    wlen = min(pitch_window_len(sr, cfg), max(16, n))
+                    nf, starts, _ = _frame_grid(n, sr, dt, wlen)
+                    p_nf[j] = nf
+                    p_starts[j, :nf] = starts
+                    p_starts[j, nf:] = starts[-1]
+                    fnf, fstarts, _, _ = formant_frame_grid(n, sr, dt)
+                    ff_true[j] = fnf
+                    f_nf[j] = fnf
+                    f_starts[j, :fnf] = fstarts
+                    f_starts[j, fnf:] = fstarts[-1]
 
-                def put(x):
-                    spec = P(mesh.axis_names, *((None,) * (x.ndim - 1)))
-                    return jax.device_put(jnp.asarray(x),
-                                          NamedSharding(mesh, spec))
+                if mesh is None:
+                    flat_dev = graph(yb, n_true, p_starts, p_nf,
+                                     f_starts, f_nf)      # async dispatch
+                else:
+                    from jax.sharding import NamedSharding
+                    from jax.sharding import PartitionSpec as P
 
-                flat_dev = graph(
-                    put(yb), put(n_true), put(p_starts), put(p_nf),
-                    put(f_starts), put(f_nf))
-            pending.append((flat_dev, part, p_nf, ff_true, k_values,
-                            shapes, splits))
+                    def put(x):
+                        spec = P(mesh.axis_names,
+                                 *((None,) * (x.ndim - 1)))
+                        return jax.device_put(jnp.asarray(x),
+                                              NamedSharding(mesh, spec))
 
-    # Phase 2: fetch + unpack in dispatch order (ONE d2h per chunk).
-    # Start every chunk's d2h ASYNC first, so chunk i+1's transfer rides
-    # the tunnel while the host unpacks/saves chunk i.
-    for flat_dev, *_ in pending:
-        try:
-            flat_dev.copy_to_host_async()
-        except (AttributeError, RuntimeError):  # pragma: no cover
-            pass
-    for flat_dev, part, p_nf, ff_true, k_values, shapes, splits in pending:
+                    flat_dev = graph(
+                        put(yb), put(n_true), put(p_starts), put(p_nf),
+                        put(f_starts), put(f_nf))
+                # start the d2h async at dispatch time so this chunk's
+                # transfer rides the tunnel while the host unpacks the
+                # previous one
+                try:
+                    flat_dev.copy_to_host_async()
+                except (AttributeError, RuntimeError):  # pragma: no cover
+                    pass
+                yield (flat_dev, part, p_nf, ff_true, k_values,
+                       shapes, splits)
+
+    def drain(item):
+        flat_dev, part, p_nf, ff_true, k_values, shapes, splits = item
         flat_b = np.asarray(flat_dev)
         unpack = _unpack_mixed if not dense else _unpack
         rows_np = [unpack(row, shapes, splits) for row in flat_b]
@@ -577,4 +584,12 @@ def extract_features_batch(ys, sr: int, n_fft: int = 1024,
                 tr = tr[:, :t_true]
             formants = {k + 1: tr[k] for k in range(tr.shape[0])}
             results[idx] = (env, f0_out, mask_out, formants, knots)
+
+    window: deque = deque()
+    for item in dispatches():
+        window.append(item)
+        if len(window) > max_inflight:
+            drain(window.popleft())      # fetch oldest; keeps <= max
+    while window:
+        drain(window.popleft())
     return results

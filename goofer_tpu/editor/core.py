@@ -18,10 +18,12 @@ from goofer_tpu.io.goofy import load_features, save_features
 
 def write_back_voicing(feat_path: str, edited_mask: np.ndarray,
                        start_sample: int, end_sample: int,
-                       snippet_was_reversed: bool, total_len: int) -> None:
+                       snippet_was_reversed: bool) -> None:
     """Splice an edited mask span back into the stored voicing mask,
     flipping indices if the snippet came from a reversed render; atomic
-    tmp + os.replace (ref: SillyEditor.py:506-542)."""
+    tmp + os.replace (ref: SillyEditor.py:506-542).  The total length is
+    the stored file's own ``ylen`` — the file is authoritative (a stale
+    caller-supplied length could mis-flip reversed spans)."""
     env0, f0i0, vmask0, forms0, sr0, ylen0 = load_features(feat_path)
     total_len = int(ylen0)
 

@@ -1,8 +1,9 @@
 """Interactive voicing editor (tkinter front-end).
 
 Functional equivalent of SillyEditor (ref: SillyEditor.py:11-502,566-637):
-a waveform canvas with per-sample voicing painting (LMB voiced / RMB
-unvoiced, mode keys 1/2/3), zoom + scroll, an F0 brush slider (50-500 Hz),
+a waveform canvas with per-sample voicing painting (LMB voiced, RMB/MMB
+unvoiced — ref :459-490; mode via keys 1/2/3 or the "Editing:" combobox,
+ref :96-103), zoom + scroll, an F0 brush slider (50-500 Hz),
 preview synthesis through the TPU engine, and atomic `.goofy` write-back.
 All stateful editing semantics live in goofer_tpu.editor.core; this module
 is only the event loop + drawing, and imports tkinter lazily so headless
@@ -136,6 +137,22 @@ class VoicingEditorUI:
             fill=tk.X, pady=(12, 0))
         ttk.Button(right, text="Cancel", command=self._cancel).pack(
             fill=tk.X, pady=(4, 12))
+        # mode combobox, widget-for-widget with the reference
+        # (ref: SillyEditor.py:94-103); keys 1/2/3 stay as shortcuts
+        mode_frame = ttk.Frame(right)
+        mode_frame.pack(fill=tk.X)
+        ttk.Label(mode_frame, text="Editing:").pack(side=tk.LEFT)
+        self.mode_var = tk.StringVar(value=self.edit_mode)
+        self.mode_combo = ttk.Combobox(
+            mode_frame, textvariable=self.mode_var,
+            values=["both", "voiced", "unvoiced"], state="readonly",
+            width=12)
+        self.mode_combo.pack(side=tk.LEFT, padx=6)
+        self.mode_combo.configure(takefocus=False)
+        self.mode_combo.bind("<FocusIn>",
+                             lambda e: e.widget.selection_clear())
+        self.mode_combo.bind("<<ComboboxSelected>>",
+                             lambda _e: self._set_mode(self.mode_var.get()))
         ttk.Label(right, text="F0 brush (Hz)").pack()
         self.f0_var = tk.DoubleVar(value=120.0)
         self.f0_slider = ttk.Scale(right, from_=50, to=500,
@@ -152,6 +169,13 @@ class VoicingEditorUI:
         self.canvas.bind("<Button-3>", lambda e: self._begin(e, False))
         self.canvas.bind("<B3-Motion>", self._motion)
         self.canvas.bind("<ButtonRelease-3>", lambda _e: self._end())
+        # middle button paints unvoiced like RMB in "both" mode and the
+        # pinned polarity in voiced/unvoiced modes — _begin dispatches on
+        # edit_mode, so one binding set covers the reference's per-mode
+        # _rebind_canvas (ref: SillyEditor.py:459-490)
+        self.canvas.bind("<Button-2>", lambda e: self._begin(e, False))
+        self.canvas.bind("<B2-Motion>", self._motion)
+        self.canvas.bind("<ButtonRelease-2>", lambda _e: self._end())
         self.canvas.bind("<Configure>", lambda _e: self._draw())
         self._draw()
 
@@ -164,6 +188,7 @@ class VoicingEditorUI:
 
     def _set_mode(self, mode):
         self.edit_mode = mode
+        self.mode_var.set(mode)      # keep the combobox in sync with 1/2/3
         self._draw()
 
     def _on_zoom(self, value):

@@ -140,6 +140,24 @@ def render_batch_sharded(mesh, st: SynthStatic, knots, f0, mask, tracks,
     keys = jax.random.split(key, f0.shape[0])
     w = jnp.asarray(_decode_matrix(sr, n_fft, knots.shape[1]))
 
+    # shard_map needs every sharded axis length divisible by its mesh
+    # axis (GSPMD tolerated uneven shapes; shard_map errors opaquely —
+    # ADVICE r4).  The knot contraction axis pads with zeros: a zero w
+    # column times a zero knot row adds +0 to the log-space einsum sum,
+    # so decode is exact.  The note batch can't be padded invisibly
+    # (callers index outputs by note), so assert it with a clear error.
+    tp = int(mesh.shape["tp"])
+    if knots.shape[1] % tp:
+        pad = tp - knots.shape[1] % tp
+        knots = jnp.pad(knots, ((0, 0), (0, pad), (0, 0)))
+        w = jnp.pad(w, ((0, 0), (0, pad)))
+    dp = int(mesh.shape["dp"])
+    if f0.shape[0] % dp:
+        raise ValueError(
+            f"note batch {f0.shape[0]} not divisible by the dp mesh "
+            f"axis ({dp}); pad the batch (replicate a note and drop its "
+            f"output) or pick a dp that divides it")
+
     def shard(x, spec):
         return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
 

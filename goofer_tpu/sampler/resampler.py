@@ -676,7 +676,7 @@ class GooferResampler:
         if result is not None and len(result) == len(mask_cut):
             edited = np.asarray(result, dtype=np.float32)
             write_back_voicing(feat_path, edited, cut.start_sample,
-                               cut.end_sample, p.reverse, ylen)
+                               cut.end_sample, p.reverse)
             invalidate_render_cache(str(self.out_file), feat_path)
             return edited
         return mask_cut

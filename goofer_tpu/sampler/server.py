@@ -14,6 +14,7 @@ falls back to per-note rendering so error bodies stay per-request.
 """
 from __future__ import annotations
 
+import logging
 import re
 import threading
 import time
@@ -22,6 +23,8 @@ from http.server import BaseHTTPRequestHandler, HTTPServer
 from socketserver import ThreadingMixIn
 
 from goofer_tpu import config
+
+log = logging.getLogger("goofer_tpu")
 
 
 def split_arguments(input_string: str) -> list:
@@ -59,16 +62,22 @@ class BurstBatcher:
     # vmapped phrase graph would compile fresh per batch-size bucket
     # (~20 s each, measured — tools/probe_server_burst.py)
     MIN_PHRASE = 4
-    # phrase batches pad up to this size (replicating the last note) so
-    # one compiled graph serves every burst size
-    MAX_PHRASE_PAD = 16
+    # phrase batches pad up (replicating the last note) to the smallest
+    # covering rung, so 3 compiled graphs serve every 4-16-note burst
+    # and a 5-note burst pays an 8-wide dispatch, not 16 (VERDICT r4
+    # item 4; rung sizes are bucket_batch fixed points, so the phrase
+    # dispatcher doesn't re-round them).  Bursts beyond the top rung
+    # ride config.bucket_batch's own series.
+    PHRASE_PAD_LADDER = (4, 8, 16)
 
     def __init__(self):
         self._cond = threading.Condition()
         self._pending: list[_Request] = []
         self._thread = None
         # observability for tests/probes: sizes of dispatched batches
+        # and the ladder rung each one padded to
         self.batch_sizes: list[int] = []
+        self.pad_sizes: list[int] = []
 
     def submit(self, args) -> None:
         """Enqueue a 13-arg render; blocks until it completes.  Raises
@@ -109,8 +118,12 @@ class BurstBatcher:
                 return
             except Exception:
                 # any planning/dispatch failure: per-note fallback keeps
-                # error bodies per-request
-                pass
+                # error bodies per-request — but a persistent phrase-path
+                # bug must not degrade every burst silently (VERDICT r4
+                # item 5), so log the cause before falling back
+                log.exception(
+                    "burst phrase dispatch failed for %d notes; "
+                    "falling back to per-note rendering", len(batch))
         for req in batch:
             self._render_one(req)
 
@@ -136,12 +149,15 @@ class BurstBatcher:
         notes = [NoteSpec(r.args[0], *r.args[2:]) for r in batch]
         # bucket=True (not "auto"): interactive bursts favor graph reuse
         # across note lengths over exact-geometry compiles.  The batch
-        # itself pads to MAX_PHRASE_PAD by replicating the last note, so
-        # every burst size rides ONE compiled vmapped graph instead of
-        # one per batch-size bucket (each ~20 s compile, measured)
-        if len(notes) < self.MAX_PHRASE_PAD:
-            notes = notes + [notes[-1]] * (self.MAX_PHRASE_PAD
-                                           - len(notes))
+        # pads by replicating the last note up to the smallest covering
+        # PHRASE_PAD_LADDER rung (4/8/16), so three compiled vmapped
+        # graphs serve every burst size without the old pad-to-16's up
+        # to 4x wasted device compute on mid-size bursts
+        pad = next((r for r in self.PHRASE_PAD_LADDER
+                    if r >= len(notes)), len(notes))
+        self.pad_sizes.append(pad)
+        if len(notes) < pad:
+            notes = notes + [notes[-1]] * (pad - len(notes))
         outs = render_phrase(notes, pcm16=True, bucket=True)
         for req, out in zip(batch, outs):
             try:
@@ -222,16 +238,17 @@ def _background_warmup():
                         0, 300, 60, 0, 100, 0, "!120", "AA")
         print("Warmup render done; graphs compiled.", flush=True)
 
-        # the burst batcher's vmapped phrase graph (bucketed geometry,
-        # batch bucket 16) — compile it now so a first track export
-        # doesn't stall on it
+        # the burst batcher's vmapped phrase graphs — one per
+        # PHRASE_PAD_LADDER rung (4/8/16) — compile them now so a first
+        # track export doesn't stall on any burst size
         from goofer_tpu.sampler.phrase import NoteSpec, render_phrase
 
-        notes = [NoteSpec(src, "C4", length=250 + 17 * i, consonant=60,
-                          flags=f"t{10 + i}")
-                 for i in range(16)]
-        render_phrase(notes, pcm16=True, bucket=True)
-        print("Burst phrase graph ready.", flush=True)
+        for rung in BurstBatcher.PHRASE_PAD_LADDER:
+            notes = [NoteSpec(src, "C4", length=250 + 17 * i,
+                              consonant=60, flags=f"t{10 + i}")
+                     for i in range(rung)]
+            render_phrase(notes, pcm16=True, bucket=True)
+            print(f"Burst phrase graph ready (batch {rung}).", flush=True)
 
         # universal fallback graphs: after this, a first-sight flag
         # combo renders immediately through the covering universal

@@ -46,18 +46,45 @@ def store_dir() -> str | None:
     return v or os.path.expanduser("~/.cache/goofer_tpu/aot")
 
 
+_src_fp: str | None = None
+
+
+def _source_fingerprint() -> str:
+    """sha256 over every .py file in the goofer_tpu package (path +
+    content), computed once per process.  Keyed into the digest so a
+    traced-graph edit that ships without a config.VERSION bump can never
+    serve a stale exported module — wrong audio with no error was the
+    failure mode (ADVICE r4).  ~1 MB of source, a few ms."""
+    global _src_fp
+    if _src_fp is None:
+        import goofer_tpu
+
+        h = hashlib.sha256()
+        pkg = os.path.dirname(os.path.abspath(goofer_tpu.__file__))
+        for root, dirs, files in os.walk(pkg):
+            dirs[:] = sorted(d for d in dirs if d != "__pycache__")
+            for name in sorted(files):
+                if not name.endswith(".py"):
+                    continue
+                p = os.path.join(root, name)
+                h.update(os.path.relpath(p, pkg).encode())
+                with open(p, "rb") as f:
+                    h.update(f.read())
+        _src_fp = h.hexdigest()[:16]
+    return _src_fp
+
+
 def _digest(family: str, config_repr: str, args) -> str:
     import jax
     import numpy as np
 
     from goofer_tpu import config
 
-    # config.VERSION invalidates the store per release — the module
-    # digest does NOT see source changes (unlike the XLA executable
-    # cache, which keys on the HLO itself), so a blob must never
-    # outlive the code that traced it.  Developers editing graph code
-    # within a version: clear the store or set GOOFER_TPU_AOT=0.
-    parts = [config.VERSION, jax.__version__,
+    # config.VERSION invalidates the store per release; the source
+    # fingerprint invalidates it on ANY package edit, so a blob can
+    # never outlive the code that traced it (the XLA executable cache
+    # keys on HLO content and needs no such guard).
+    parts = [config.VERSION, _source_fingerprint(), jax.__version__,
              jax.devices()[0].platform, family, config_repr]
     for leaf in jax.tree.leaves(args):
         # leaves are post-_canon: every one carries .dtype, and device

@@ -175,6 +175,35 @@ class DoubleVar:
         self._v = float(v)
 
 
+class StringVar:
+    def __init__(self, value=""):
+        self._v = str(value)
+
+    def get(self):
+        return self._v
+
+    def set(self, v):
+        self._v = str(v)
+
+
+class Combobox(_Widget):
+    """Recording ttk.Combobox: tests set the textvariable then fire
+    ``<<ComboboxSelected>>`` the way Tk does after a dropdown pick."""
+
+    def configure(self, **kw):
+        self.kw.update(kw)
+
+    def selection_clear(self):
+        pass
+
+    def select(self, value):
+        """Test helper: pick ``value`` from the dropdown (sets the
+        textvariable, then fires the selection event like real Tk)."""
+        assert value in self.kw.get("values", ()), value
+        self.kw["textvariable"].set(value)
+        self.fire("<<ComboboxSelected>>")
+
+
 # ---------------------------------------------------------------- helpers
 
 def find_all(root, cls):
@@ -200,3 +229,4 @@ ttk.Label = Label
 ttk.Button = Button
 ttk.Scale = Scale
 ttk.Scrollbar = Scrollbar
+ttk.Combobox = Combobox

@@ -39,6 +39,18 @@ def test_digest_sensitivity():
     assert aot._digest("f", "cfg", (x,)) == base
 
 
+def test_digest_keys_on_source_fingerprint(monkeypatch):
+    """Any edit to the goofer_tpu package source must change the digest,
+    so a blob can never outlive the code that traced it (ADVICE r4:
+    VERSION alone let a traced-graph edit silently serve stale audio)."""
+    x = np.zeros(8, np.float32)
+    fp = aot._source_fingerprint()
+    assert fp and fp == aot._source_fingerprint()   # stable per process
+    base = aot._digest("f", "cfg", (x,))
+    monkeypatch.setattr(aot, "_src_fp", "0" * 16)   # simulate a source edit
+    assert aot._digest("f", "cfg", (x,)) != base
+
+
 def test_wrap_disabled_returns_jitted_fn(monkeypatch):
     monkeypatch.setenv("GOOFER_TPU_AOT", "0")
     jf = jax.jit(lambda x: x + 1)

@@ -77,6 +77,42 @@ def test_canvas_paint_lmb_rmb_and_mode_keys(tkpatch):
     assert (ui.mask[e:f] == 0.0).all()
 
 
+def test_mode_combobox_and_middle_button(tkpatch):
+    """The "Editing:" combobox switches modes like the reference's
+    (ref: SillyEditor.py:96-103) and MMB paints: unvoiced in "both"
+    mode, the pinned polarity otherwise (ref: SillyEditor.py:459-490).
+    Keys 1/2/3 keep the combobox display in sync."""
+    _, ui = _mk_ui(n=8000)
+    w = ui.canvas.winfo_width()
+
+    # MMB in default "both" mode paints unvoiced, like RMB
+    _paint(ui, 200, 400, button=2)
+    a, b = int(200 / w * 8000), int(400 / w * 8000) + 1
+    assert (ui.mask[a:b] == 0.0).all()
+    assert (ui.mask[:a] == 1.0).all() and (ui.mask[b:] == 1.0).all()
+
+    # combobox -> "voiced": every button (incl. MMB) paints voiced
+    ui.mode_combo.select("voiced")
+    assert ui.edit_mode == "voiced"
+    _paint(ui, 200, 400, button=2)
+    assert (ui.mask[a:b] == 1.0).all()
+
+    # combobox -> "unvoiced": LMB paints unvoiced
+    ui.mode_combo.select("unvoiced")
+    assert ui.edit_mode == "unvoiced"
+    _paint(ui, 600, 700, button=1)
+    c, d = int(600 / w * 8000), int(700 / w * 8000) + 1
+    assert (ui.mask[c:d] == 0.0).all()
+
+    # key shortcut keeps the combobox variable in sync
+    ui.win.bindings["1"](fake_tk.Event())
+    assert ui.edit_mode == "both" and ui.mode_var.get() == "both"
+
+    # focus never leaves a stuck selection (reference parity wiring)
+    assert ui.mode_combo.kw.get("takefocus") is False
+    ui.mode_combo.fire("<FocusIn>", widget=ui.mode_combo)
+
+
 def test_zoom_scroll_view_and_redraw(tkpatch):
     """Zoom slider + scrollbar drive _view_span; every interaction
     redraws the canvas (background runs, waveform, HUD text)."""

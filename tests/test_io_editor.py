@@ -137,13 +137,13 @@ def test_write_back_voicing_forward_and_reversed(tmp_path):
     save_features(p, _knot_pack(), np.zeros(n), mask0, {}, 44100, n)
 
     edited = np.zeros(100, dtype=np.float32)
-    write_back_voicing(p, edited, 50, 150, False, n)
+    write_back_voicing(p, edited, 50, 150, False)
     _, _, m1, _, _, _ = load_features(p)
     assert np.all(m1[50:150] == 0) and np.all(m1[:50] == 1)
 
     # reversed snippet: span flips to [n-150, n-50)
     save_features(p, _knot_pack(), np.zeros(n), mask0, {}, 44100, n)
-    write_back_voicing(p, edited, 50, 150, True, n)
+    write_back_voicing(p, edited, 50, 150, True)
     _, _, m2, _, _, _ = load_features(p)
     assert np.all(m2[n - 150: n - 50] == 0)
     assert np.all(m2[: n - 150] == 1) and np.all(m2[n - 50:] == 1)

@@ -93,6 +93,40 @@ def test_sharded_render_runs_on_mesh():
 
 
 @pytest.mark.slow
+def test_sharded_render_pads_off_size_knot_axis():
+    """A .goofy with a knot count not divisible by the tp mesh axis must
+    still render: the knot contraction axis zero-pads to a tp multiple
+    (zero w column x zero knot row adds +0 in log space — exact), and an
+    off-size note batch raises a clear error instead of shard_map's
+    opaque shape failure (ADVICE r4)."""
+    from goofer_tpu.ops.envelope import _knot_bin_idx
+
+    mesh = make_mesh(8, tp=2)
+    n = 4096
+    b = 4
+    notes = [_note(n, 150.0 + 40 * i) for i in range(b)]
+    bin_idx = _knot_bin_idx(SR, N_FFT, 128, N_BINS)
+    shared = [np.log(np.maximum(env, 1e-8))[bin_idx, :]
+              for env, _, _, _ in notes]
+    # K=127: odd, not divisible by tp=2
+    knots_b = jnp.asarray(np.stack(shared), dtype=jnp.float32)[:, :127]
+    f0_b = jnp.asarray(np.stack([x[1] for x in notes]))
+    mask_b = jnp.asarray(np.stack([x[2] for x in notes]))
+    tr_b = jnp.asarray(np.stack([x[3] for x in notes]))
+
+    st = SynthStatic(sr=SR, n_fft=N_FFT, hop=HOP, n=n)
+    mix, _, _, _ = render_batch_sharded(
+        mesh, st, knots_b, f0_b, mask_b, tr_b)
+    arr = np.asarray(mix)
+    assert arr.shape == (b, n) and np.all(np.isfinite(arr))
+    assert np.max(np.abs(arr)) > 0
+
+    with pytest.raises(ValueError, match="not divisible by the dp"):
+        render_batch_sharded(mesh, st, knots_b[:3], f0_b[:3],
+                             mask_b[:3], tr_b[:3])
+
+
+@pytest.mark.slow
 def test_full_render_sharded_matches_single():
     """The FULL fused note render sharded over the mesh equals the
     single-device vmapped dispatch (note renders are independent — no

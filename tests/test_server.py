@@ -95,6 +95,68 @@ def test_post_bad_args_returns_500(server):
     assert raised
 
 
+def test_burst_pad_ladder(monkeypatch, tmp_path):
+    """A 5-note burst pads to the 8-rung of PHRASE_PAD_LADDER — not 16
+    (VERDICT r4 item 4) — and each request still gets its own output.
+    Device work is stubbed out; this tests the batcher's pad/dispatch
+    bookkeeping only."""
+    import goofer_tpu.sampler.phrase as phrase_mod
+    import goofer_tpu.sampler.resampler as resampler_mod
+    import goofer_tpu.utils.audio_io as audio_io_mod
+    from goofer_tpu.sampler.server import BurstBatcher, _Request
+
+    seen = {}
+
+    def fake_render_phrase(notes, **kw):
+        seen["n"] = len(notes)
+        return [np.zeros(64, dtype=np.int16) for _ in notes]
+
+    monkeypatch.setattr(phrase_mod, "render_phrase", fake_render_phrase)
+    monkeypatch.setattr(resampler_mod, "acquire_features",
+                        lambda *a, **k: (None, None, None, None, 44100,
+                                         64))
+    written = []
+    monkeypatch.setattr(audio_io_mod, "write_wav",
+                        lambda path, y, sr: written.append(str(path)))
+
+    b = BurstBatcher()
+    batch = [_Request([str(tmp_path / "in.wav"),
+                       str(tmp_path / f"out{j}.wav"),
+                       "C4", 100, "", 0, 300, 50, 0, 100, 0, "!120",
+                       "AA"]) for j in range(5)]
+    b._render(batch)
+    assert seen["n"] == 8            # padded to the 8 rung, not 16
+    assert b.pad_sizes == [8]
+    assert len(written) == 5         # one WAV per real request
+    assert all(r.done.is_set() and r.error is None for r in batch)
+
+
+def test_burst_fallback_is_logged(monkeypatch, tmp_path, caplog):
+    """A poisoned phrase path must show up in server logs before the
+    per-note fallback runs (VERDICT r4 item 5)."""
+    import logging
+
+    import goofer_tpu.sampler.phrase as phrase_mod
+    from goofer_tpu.sampler.server import BurstBatcher, _Request
+
+    def boom(notes, **kw):
+        raise RuntimeError("poisoned phrase path")
+
+    monkeypatch.setattr(phrase_mod, "render_phrase", boom)
+
+    rendered = []
+    b = BurstBatcher()
+    monkeypatch.setattr(
+        BurstBatcher, "_render_one",
+        lambda self, req: (rendered.append(req), req.done.set()))
+    batch = [_Request(["a.wav", "b.wav"]) for _ in range(4)]
+    with caplog.at_level(logging.ERROR, logger="goofer_tpu"):
+        b._render(batch)
+    assert any("burst phrase dispatch failed" in r.message
+               for r in caplog.records)
+    assert len(rendered) == 4        # fallback still served every note
+
+
 def test_stage_timer_report():
     t = StageTimer(enabled=True)
     with t.stage("a"):
