@@ -288,9 +288,12 @@ def main():
         "vs_baseline": round(max(heavy_rtfs) / 100.0, 3),
     }), flush=True)
 
-    # secondary (stderr-only): randomized note lengths — geometry
-    # bucketing must keep compile count and throughput sane on phrases
-    # with NO repeated note geometry (VERDICT r1 item 3)
+    # randomized note lengths — geometry bucketing must keep compile
+    # count and throughput sane on phrases with NO repeated note geometry
+    # (VERDICT r1 item 3).  First-class JSON metric with interleaved
+    # tunnel calibration since r5 (VERDICT r4 item 1: the r4 artifact
+    # recorded 83.6x on stderr with no calib, so tunnel mood was not
+    # separable from a code regression).
     rng = np.random.default_rng(1)
     rand_notes = [
         NoteSpec(src, scale[int(rng.integers(len(scale)))],
@@ -303,14 +306,28 @@ def main():
     render_phrase(rand_notes, pcm16=True)
     _log(f"randomized-length phrase warmup (40 unique lengths): "
          f"{time.perf_counter() - t0:.1f}s")
-    best = 0.0
-    for _ in range(3):
+    rand_rtfs, rand_c, rand_f = [], [], []
+    for rep in range(5):
         t0 = time.perf_counter()
         outs = render_phrase(rand_notes, pcm16=True)
-        best = max(best, rand_audio / (time.perf_counter() - t0))
+        elapsed = time.perf_counter() - t0
+        if rep > 0:                  # rep 0 settles post-compile stragglers
+            rand_rtfs.append(rand_audio / elapsed)
+        c, f = calibrate()
+        rand_c.append(c)
+        rand_f.append(f)
+        _log(f"randomized rep {rep}: {elapsed:.3f}s for {rand_audio:.1f}s "
+             f"audio -> {rand_audio / elapsed:.1f}x realtime "
+             f"[calib exec {c * 1e3:.0f} ms, d2h {f:.1f} MB/s]")
     assert all(np.abs(o).max() > 0 for o in outs)
-    _log(f"randomized-length phrase ({rand_audio:.1f}s audio): "
-         f"{best:.1f}x realtime")
+    print(json.dumps({
+        "metric": "realtime_factor_randomized_geometry_phrase",
+        "value": round(max(rand_rtfs), 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(max(rand_rtfs) / 100.0, 3),
+        "calib_exec_ms": round(float(np.median(rand_c)) * 1e3, 1),
+        "calib_d2h_MBps": round(float(np.median(rand_f)), 1),
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -380,6 +380,15 @@ def render_phrase(notes, n_fft: int = config.SAMPLER_N_FFT,
     if not fetch:
         jax.block_until_ready([r for _, r in pending])
         return None
+    # start every group's d2h async before blocking on the first: the
+    # tunnel pipelines the per-fetch RTT across groups (the randomized
+    # phrase has 3-4 groups; each serial np.asarray paid ~29 ms of RTT
+    # on top of bandwidth — measured in tools/probe_rand_phrase.py)
+    for _, result in pending:
+        try:
+            result.copy_to_host_async()
+        except (AttributeError, RuntimeError):  # pragma: no cover
+            pass
     for members, result in pending:
         result = np.asarray(result)          # blocks on this group only
         for j, m in enumerate(members):

@@ -44,9 +44,12 @@ if os.environ.get("GOOFER_TPU_TEST_PLATFORM") != "tpu":
     # test_resampler as the suite grew — the same compiles succeed in a
     # fresh process and MALLOC_CHECK_ sees no heap corruption, so the
     # trigger is accumulated compiler state, not this repo's code).
-    # Bound the accumulation: at each module boundary, if enough tests
-    # have run since the last reset, drop JAX's caches.  Threshold well
-    # under the ~180-test crash horizon; clearing costs only the few
+    # The canonical full-suite path is tools/run_tests.sh, which bounds
+    # per-process accumulation STRUCTURALLY by running the suite as four
+    # fresh pytest processes.  For direct `pytest tests/` invocations,
+    # keep this in-process defense: at each module boundary, if enough
+    # tests have run since the last reset, drop JAX's caches.  Threshold
+    # well under the ~180-test crash horizon; clearing costs only the few
     # cross-module graph recompiles (CPU compiles are fast).
     import gc
 
