@@ -54,6 +54,18 @@ def first_order_recurrence_pos(a: jnp.ndarray, b: jnp.ndarray
     cutoff ceiling, so exp spans at most e^43 per block — inside f32.
     Early-sample contributions lose relative precision only where they
     are attenuated by the same factor, so absolute error stays ~1e-6.
+
+    The n/32 block carries compose through a ROLLED ``lax.scan``
+    (unroll 8), not an associative scan: the log-depth odd/even
+    recursion of ``associative_scan`` generated ~10 MB of TPU code PER
+    RECURRENCE (measured at batch 69 x 33k), and the heavy 11-flag
+    phrase graph holds dozens of recurrences — its 467 MB of generated
+    code (81 MB serialized executable) made warm-process start
+    tunnel-upload-bound (docs/PERFORMANCE.md).  The rolled scan is one
+    traced body (~0.8 MB of code, 12x less) and measures equal wall
+    time: the carry chain is ~0.1% of the recurrence's work, so its
+    depth (m/8 loop trips vs log m levels) is invisible next to the
+    full-length elementwise passes.
     """
     n = a.shape[0]
     m = -(-n // _BLOCK)
@@ -69,7 +81,13 @@ def first_order_recurrence_pos(a: jnp.ndarray, b: jnp.ndarray
     # y_end[k] = prod(a_blk[k]) * y_end[k-1] + y_local_end[k]
     a_blk = p[:, -1]
     b_blk = y_local[:, -1]
-    _, y_end = jax.lax.associative_scan(_affine_combine, (a_blk, b_blk))
+
+    def _step(c, ab):
+        c = ab[0] * c + ab[1]
+        return c, c
+
+    _, y_end = jax.lax.scan(_step, jnp.zeros((), a_blk.dtype),
+                            (a_blk, b_blk), unroll=min(8, m))
     carry = jnp.concatenate([jnp.zeros((1,), y_end.dtype), y_end[:-1]])
 
     y = y_local + p * carry[:, None]
