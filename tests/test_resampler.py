@@ -189,3 +189,35 @@ def test_acquire_features_roundtrip(voicebank):
     assert env.shape[0] == 513
     assert len(f0i) == ylen
     assert sr == SR
+
+def test_acquire_singleton_matches_direct_extraction(tmp_path):
+    # acquire_features routes singletons through the BUCKETED batch
+    # graph (round 5); the saved .goofy must match a direct
+    # extract_features run on the same audio (the bucketed analysis is
+    # bit-compatible with the per-file path).
+    from goofer_tpu.analysis.features import extract_features
+    from goofer_tpu.utils.audio_io import read_wav_mono
+
+    wav = tmp_path / "s.wav"
+    _make_sample(wav, f0=180.0, dur=0.4)
+    env_a, f0_a, vm_a, forms_a, sr, ylen = acquire_features(wav, 1024, 256)
+    assert ylen == len(read_wav_mono(wav)[0])
+
+    y, sr2 = read_wav_mono(wav)
+    env_d, f0_d, vm_d, forms_d, knots = extract_features(
+        y, sr2, n_fft=1024, hop_length=256)
+    assert sr == sr2
+    assert env_a.shape == env_d.shape
+    # fresh-extraction branch returns the DENSE env (knots only go to
+    # the .goofy); bucketed batch-of-1 must match the per-file graph
+    np.testing.assert_allclose(env_a, env_d, rtol=0, atol=1e-6)
+    # the saved .goofy knot payload picks the same adaptive K
+    from goofer_tpu.io.goofy import load_features
+
+    env_saved = load_features(wav.parent / "s_features.goofy")[0]
+    assert env_saved["knot_vals_log"].shape == knots["knot_vals_log"].shape
+    np.testing.assert_allclose(f0_a, f0_d, rtol=0, atol=1e-4)
+    np.testing.assert_array_equal(vm_a, vm_d)
+    for k in forms_d:
+        np.testing.assert_allclose(forms_a[k], forms_d[k],
+                                   rtol=1e-4, atol=1e-2)
