@@ -29,4 +29,13 @@ echo "--- 4. entry() compile check"
 timeout 900 python -c "import jax,__graft_entry__; \
 fn,a=__graft_entry__.entry(); jax.jit(fn).lower(*a).compile(); print('entry ok')"
 
+echo "--- 5. heavy-graph executable sizes (round-5 IIR scan-carry check)"
+timeout 1200 python -u tools/probe_exec_size.py
+
+echo "--- 6. warm-process start (target <=15 s first heavy render)"
+timeout 1200 python -u tools/probe_warm_start.py
+
+echo "--- 7. interactive RTT-floor decomposition"
+timeout 900 python -u tools/probe_rtt_floor.py
+
 echo "=== checklist done $(date) ==="

@@ -39,7 +39,13 @@ def main() -> int:
 
     from bench import _make_voicebank_sample
     from goofer_tpu.sampler.phrase import NoteSpec, render_phrase
-    from goofer_tpu.sampler.batch_extract import extract_file
+    from goofer_tpu.analysis.features import extract_features_batch
+
+    def extract_file(y, sr):
+        # the production singleton path: lean bucketed batch-of-1
+        # (acquire_features routes here since round 5; folder
+        # extraction uses the same graphs at chunked batch)
+        return extract_features_batch([y], sr, dense=False)[0]
 
     # --- 1. dispatch+sync RTT: trivial graph, no payload
     tiny = jax.jit(lambda x: x + 1.0)
