@@ -149,10 +149,16 @@ def _shape_key(pl: "_Planned") -> tuple:
 # statics that only size kernel tables/bands: grouping ignores them and
 # each group harmonizes to its most conservative member, so a melody
 # spanning octaves shares graphs.  Pulse spacings harmonize to the MIN
-# (smaller is always safe); the formant-warp band harmonizes to the MAX
-# (wider always covers), with 0 = unbounded dominating.
+# (smaller is always safe); pulse-overlap bounds harmonize to the MAX
+# (a deeper slab lookback only adds rows masked by offs < T0 in
+# ops/pulse._accumulate_pulses_blocked — output-identical); the
+# formant-warp band harmonizes to the MAX (wider always covers), with
+# 0 = unbounded dominating.  Without the overlap fields here a scale
+# spanning octaves split into two graphs (measured: the bench's 80-note
+# heavy phrase paid TWO ~300 MB-generated-code executables, 69+11).
 _SPACING_FIELDS = ("min_spacing", "growl_min_spacing",
                    "subharm_min_spacing", "su_min_spacing")
+_OVERLAP_FIELDS = ("max_overlap", "growl_max_overlap")
 
 
 def _band_merge(members):
@@ -163,7 +169,9 @@ def _band_merge(members):
 def _spacing_neutral(rs):
     return replace(rs, warp_band=0,
                    **{f: config.PULSE_MIN_SPACING
-                      for f in _SPACING_FIELDS})
+                      for f in _SPACING_FIELDS},
+                   **{f: config.PULSE_MAX_OVERLAP
+                      for f in _OVERLAP_FIELDS})
 
 
 def group_planned(planned) -> dict:
@@ -178,7 +186,9 @@ def group_planned(planned) -> dict:
     return {
         (replace(key_rs, warp_band=_band_merge(members),
                  **{f: min(getattr(m.rs, f) for m in members)
-                    for f in _SPACING_FIELDS}), sk): members
+                    for f in _SPACING_FIELDS},
+                 **{f: max(getattr(m.rs, f) for m in members)
+                    for f in _OVERLAP_FIELDS}), sk): members
         for (key_rs, sk), members in groups.items()
     }
 

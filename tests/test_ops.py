@@ -214,6 +214,24 @@ def test_pulse_train_adaptive_min_spacing_exact():
                                    err_msg=f"min_spacing={ms}")
 
 
+def test_pulse_train_larger_max_overlap_exact():
+    # a larger overlap bound only deepens the slab lookback; the extra
+    # rows are masked by offs < T0, so any K that truly bounds the
+    # track's pulse overlap must give identical output.  This is what
+    # lets phrase grouping harmonize max_overlap to the group MAX
+    # (sampler/phrase._OVERLAP_FIELDS) and share one compiled graph
+    # across notes spanning octaves.
+    sr = 44100
+    n = 20000
+    f0 = _f0_track(n, sr)
+    ref = np.asarray(pulse.pulse_train(jnp.asarray(f0), sr, max_overlap=8))
+    for k in (16, 32):
+        got = np.asarray(pulse.pulse_train(jnp.asarray(f0), sr,
+                                           max_overlap=k))
+        np.testing.assert_allclose(got, ref, atol=1e-6,
+                                   err_msg=f"max_overlap={k}")
+
+
 @pytest.mark.slow
 def test_pulse_train_silence_has_no_pulses():
     f0 = np.zeros(5000, dtype=np.float32)

@@ -78,6 +78,27 @@ def test_octave_span_shares_graphs(vb):
     assert rs.min_spacing == min(pl.rs.min_spacing for pl in planned)
 
 
+def test_octave_span_with_fry_shares_graphs(vb):
+    """With fry on, the f0 range (and so max_overlap) diverges between
+    high and low notes; grouping must harmonize the overlap bounds to the
+    group max instead of splitting graphs (the round-4 bench phrase paid
+    TWO ~300 MB-generated-code executables over exactly this split)."""
+    from goofer_tpu.sampler.phrase import group_planned
+
+    flags = "sh30sr30sg40su40sj20st-30vf40es30pd40fw20fsta50"
+    notes = [NoteSpec(str(vb / "a.wav"), p, length=300, flags=flags)
+             for p in ("G3", "A3", "C5", "B4")]
+    planned, _ = plan_phrase(notes)
+    assert len({pl.rs.max_overlap for pl in planned}) > 1  # they differ
+    groups = group_planned(planned)
+    assert len(groups) == 1
+    (rs, _sk), members = next(iter(groups.items()))
+    assert len(members) == 4
+    assert rs.max_overlap == max(pl.rs.max_overlap for pl in planned)
+    assert rs.growl_max_overlap == max(pl.rs.growl_max_overlap
+                                       for pl in planned)
+
+
 def test_plan_memo_reuses_across_calls(vb):
     """Replanning identical notes must return the SAME array objects
     (cross-call memo) and identical plans; a different flag misses."""
