@@ -133,17 +133,27 @@ def dynamic_one_pole_cascade(x: jnp.ndarray, fc: jnp.ndarray, sr: float,
         raise ValueError(f"unknown btype {btype!r}")
     alpha = alpha.astype(jnp.float32)
 
-    y = x
-    for k in range(max(1, int(order))):
+    k = max(1, int(order))
+
+    def _stage(y, s):
         if btype == "lowpass":
             y_f = first_order_recurrence_pos(1.0 - alpha, alpha * y)
         else:
             dx = jnp.diff(y, prepend=y[0:1][0])
             y_f = first_order_recurrence_pos(alpha, alpha * dx)
         if n_active is not None:
-            y = jnp.where(k < n_active, y_f, y)
-        else:
-            y = y_f
+            y_f = jnp.where(s < n_active, y_f, y)
+        return y_f, None
+
+    if k == 1:
+        y, _ = _stage(x, 0)
+        return y
+    # rolled over stages: the recurrence body (log-cumsum blocks +
+    # carry chain) is emitted ONCE per cascade instead of k times --
+    # the heavy graph holds ~14 cascades of order 4-6, so the unrolled
+    # form duplicated that body ~60-80x in the generated TPU code
+    # (warm-process start is upload-bound on exactly that size).
+    y, _ = jax.lax.scan(_stage, x, jnp.arange(k))
     return y
 
 
